@@ -1,0 +1,777 @@
+"""Decoders: Transformer (AR + NAR), two-stage NAR, and RNN families.
+
+Parity targets: reference ``models/Decoder/Transformer.py`` (pad+causal
+masks, G-LSG prefix-mask surgery, NAR input enhancement, per-layer attention
+collection, the rich output dict consumed by the loss layer),
+``RNN_single_layer.py`` (SA-LSTM with additive/MHA attention, v2h/v2c init,
+scheduled sampling, semantic global add + local attention) and
+``RNN_multi_layers.py`` (TopDown two-cell decoder).
+
+TPU-first deltas:
+* masks are additive 0/-1e9 biases computed as pure functions of the token
+  ids -- no boolean masked_fill;
+* the AR hot path is NOT this full forward: ``care_tpu.decoding.beam_search``
+  drives the layers' ``step``/KV-cache methods instead (the reference
+  re-runs this full forward per beam step, ``Translator.py:111-133``);
+* NAR "resample" input enhancement is vectorised (no per-row python loop).
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from care_tpu import constants
+from care_tpu.models.common import Dense, xavier
+from care_tpu.models.embeddings import Embeddings, NaiveEmbeddings
+from care_tpu.models.layers import DecoderLayer
+from care_tpu.models.predictors import TextPostProcesser
+from care_tpu.ops.attention import NEG_INF
+
+
+# ---------------------------------------------------------------------------
+# mask builders (pure functions)
+# ---------------------------------------------------------------------------
+
+def key_pad_bias(seq_k, len_q: int):
+    """Additive bias masking PAD keys: [B, 1, len_q, len_k]."""
+    pad = (seq_k == constants.PAD)
+    bias = jnp.where(pad[:, None, None, :], NEG_INF, 0.0).astype(jnp.float32)
+    return jnp.broadcast_to(bias, (seq_k.shape[0], 1, len_q, seq_k.shape[1]))
+
+
+def causal_bias(len_s: int, watch: int = 0):
+    """Additive causal bias [1, 1, len_s, len_s]; optional `watch` window."""
+    i = jnp.arange(len_s)[:, None]
+    j = jnp.arange(len_s)[None, :]
+    future = j > i
+    if watch > 0:
+        future = future | (j <= i - watch)
+    return jnp.where(future, NEG_INF, 0.0).astype(jnp.float32)[None, None]
+
+
+def prefix_mask_surgery(bias, prefix_len: int):
+    """Prepend concept-prefix rows/cols to a self-attention bias
+    (reference ``Transformer.py:131-152``): every word position may attend
+    to all prefix slots; each prefix slot attends ONLY to itself."""
+    b = bias.shape[0]
+    len_q, len_k = bias.shape[2], bias.shape[3]
+    # left block: words -> prefix, fully visible
+    left = jnp.zeros((b, 1, len_q, prefix_len), jnp.float32)
+    bias = jnp.concatenate([left, bias], axis=3)
+    # top rows: prefix -> (prefix + words); only the diagonal visible
+    eye = jnp.eye(prefix_len, dtype=jnp.float32)
+    top_prefix = jnp.where(eye > 0, 0.0, NEG_INF)
+    top_words = jnp.full((prefix_len, len_k), NEG_INF, jnp.float32)
+    top = jnp.concatenate([top_prefix, top_words], axis=1)[None, None]
+    top = jnp.broadcast_to(top, (b, 1, prefix_len, prefix_len + len_k))
+    return jnp.concatenate([top, bias], axis=2)
+
+
+def nar_resample(source, tgt_tokens):
+    """Resample encoder states to per-row target lengths
+    (vectorised reference ``Transformer.py:50-63``)."""
+    pad_mask = (tgt_tokens == constants.PAD)
+    length = jnp.sum(~pad_mask, axis=-1)                       # [B]
+    bsz, seq_len = tgt_tokens.shape
+    src_len = source.shape[1]
+    scale = src_len / jnp.maximum(length, 1).astype(jnp.float32)  # [B]
+    idx = (jnp.arange(seq_len)[None, :] * scale[:, None]).astype(jnp.int32)
+    idx = jnp.minimum(idx, src_len - 1)
+    return jnp.take_along_axis(source, idx[:, :, None], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# transformer decoder
+# ---------------------------------------------------------------------------
+
+class TransformerDecoder(nn.Module):
+    opt: Dict[str, Any]
+
+    def setup(self):
+        opt = self.opt
+        if opt.get("TAP_pos", False) or opt.get("TAP_ln", False):
+            self.TPP = TextPostProcesser(opt, name="TPP")
+        self.embedding = Embeddings(opt, name="embedding")
+        num_layers = opt["num_hidden_layers_decoder"]
+        self.layers = [DecoderLayer(opt, is_last=(i == num_layers - 1),
+                                    name=f"layer_{i}")
+                       for i in range(num_layers)]
+        if opt.get("transformer_pre_ln", False):
+            self.final_ln = nn.LayerNorm(epsilon=opt["layer_norm_eps"],
+                                         name="LayerNorm")
+        self.dropout = nn.Dropout(opt["hidden_dropout_prob"])
+        self.enhance_input = opt["enhance_input"]
+        self.decoding_type = opt["decoding_type"]
+
+    # ----- embedding helpers -------------------------------------------------
+    def get_sentence_embeddings(self, input_ids, average_pooling: bool = True,
+                                deterministic: bool = True):
+        embs = self.embedding.embed_tokens(input_ids)
+        if average_pooling:
+            mask = (embs != constants.PAD).astype(jnp.float32)
+            n_words = mask.sum(axis=1, keepdims=True)
+            embs = jnp.sum(embs * mask, axis=1) / jnp.squeeze(n_words, 1)
+        if hasattr(self, "TPP"):
+            embs = self.TPP(embs, deterministic=deterministic)
+        return embs
+
+    def get_attr_embeddings(self, attr_input_ids, deterministic: bool = True):
+        embs = self.embedding.embed_tokens(attr_input_ids)
+        if hasattr(self, "TPP"):
+            embs = self.TPP(embs, deterministic=deterministic)
+        return embs
+
+    def _prefix_len(self) -> int:
+        opt = self.opt
+        t = opt.get("use_attr_type") or ""
+        if opt.get("use_attr", False) and "prefix" in t:
+            return opt["use_attr_topk"]
+        if opt.get("use_attr", False) and "pp" in t:
+            return 1
+        return 0
+
+    def _self_attention_bias(self, input_ids, decoding_type):
+        bias = key_pad_bias(input_ids, input_ids.shape[1])
+        if decoding_type != "NARFormer":
+            bias = bias + causal_bias(input_ids.shape[1],
+                                      self.opt.get("watch", 0))
+        prefix_len = self._prefix_len()
+        if prefix_len:
+            bias = prefix_mask_surgery(bias, prefix_len)
+        return bias
+
+    # ----- full forward (training / NAR iterations) ---------------------------
+    def __call__(self, input_ids, encoder_hidden_states=None, category=None,
+                 category_embs=None, semantic_embs=None,
+                 semantic_hidden_states=None, preds_attr=None,
+                 attr_input_ids=None, decoding_type: Optional[str] = None,
+                 deterministic: bool = True,
+                 return_input_embs: bool = False,
+                 collect_aux: bool = True,
+                 **kwargs) -> Dict[str, Any]:
+        opt = self.opt
+        decoding_type = decoding_type or self.decoding_type
+
+        if isinstance(encoder_hidden_states, (list, tuple)):
+            assert len(encoder_hidden_states) == 1
+            encoder_hidden_states = encoder_hidden_states[0]
+
+        attention_bias = self._self_attention_bias(input_ids, decoding_type)
+        # all encoder positions are visible (reference builds an all-ones
+        # src_seq, Transformer.py:179-180) -> no cross bias needed
+        encoder_attention_bias = None
+
+        additional_feats = None
+        if decoding_type == "NARFormer":
+            if self.enhance_input == 1:
+                additional_feats = nar_resample(encoder_hidden_states, input_ids)
+            elif self.enhance_input == 2:
+                additional_feats = jnp.broadcast_to(
+                    encoder_hidden_states.mean(axis=1, keepdims=True),
+                    (input_ids.shape[0], input_ids.shape[1],
+                     encoder_hidden_states.shape[-1]))
+            elif self.enhance_input != 0:
+                raise ValueError("enhance_input should be 0, 1 or 2")
+
+        input_embs = self.embedding(
+            input_ids, category=category, category_embs=category_embs,
+            additional_feats=additional_feats,
+            semantic_hidden_states=semantic_hidden_states,
+            deterministic=deterministic)
+
+        original_input_embs = input_embs
+        if opt.get("use_attr", False) and "prefix" in (opt.get("use_attr_type") or ""):
+            assert semantic_embs is not None
+            input_embs = jnp.concatenate([semantic_embs, input_embs], axis=1)
+
+        if return_input_embs:
+            return input_embs
+
+        all_hidden_states = [input_embs]
+        all_intra, all_inter, all_attr = (), (), ()
+        for layer in self.layers:
+            hidden_states, probs, contexts, embs = layer(
+                all_hidden_states[-1], encoder_hidden_states,
+                attention_mask=attention_bias,
+                encoder_attention_mask=encoder_attention_bias,
+                semantic_embs=semantic_embs, preds_attr=preds_attr,
+                deterministic=deterministic, decoding_type=decoding_type,
+                n_frames=opt["n_frames"])
+            intra_probs, inter_probs, *rest = probs
+            text_context, context, *_ = contexts
+            self_embs, cross_embs, *_ = embs
+            all_hidden_states.append(hidden_states)
+            all_intra += (intra_probs,)
+            all_inter += (inter_probs,)
+            if rest:
+                all_attr += (rest[0],)
+
+        hidden_states = all_hidden_states[-1]
+        if hasattr(self, "final_ln"):
+            hidden_states = self.final_ln(hidden_states)
+        hidden_states = self.dropout(hidden_states, deterministic=deterministic)
+
+        outputs: Dict[str, Any] = {"hidden_states": hidden_states}
+        if collect_aux:
+            outputs.update({
+                "all_hidden_states": all_hidden_states,
+                "all_intra_attentions": all_intra,
+                "all_inter_attentions": all_inter,
+                "attention_probs": all_inter[-1].mean(axis=1),
+                "context": context,
+                "text_context": text_context,
+                "self_embs": self_embs,
+                "cross_embs": cross_embs,
+                "input_embs": original_input_embs,
+                "input_embs_exclude_bos": original_input_embs[:, 1:, :],
+                "sentence_embs": self.get_sentence_embeddings(
+                    input_ids, average_pooling=False,
+                    deterministic=deterministic),
+            })
+            if opt.get("use_attr"):
+                outputs["attr_attention_probs"] = all_attr
+            if attr_input_ids is not None:
+                outputs["attr_embs"] = self.get_attr_embeddings(
+                    attr_input_ids, deterministic=deterministic)
+        return outputs
+
+    # ----- KV-cached incremental decoding --------------------------------------
+    def init_decode_state(self, batch_size: int, max_len: int,
+                          encoder_hidden_states, semantic_embs=None,
+                          semantic_hidden_states=None, preds_attr=None,
+                          category=None, category_embs=None,
+                          dtype=jnp.float32) -> Dict[str, Any]:
+        """Build the decode cache: cross-attn K/V per layer + empty self KV.
+
+        The G-LSG concept prefix (``prefix``/``pp_emb`` modes) is prefilled
+        into the self-attention cache; word positions then attend over
+        [prefix ; generated words], reproducing the prefix mask semantics
+        (prefix rows never become queries during stepping).
+        """
+        opt = self.opt
+        if isinstance(encoder_hidden_states, (list, tuple)):
+            encoder_hidden_states = encoder_hidden_states[0]
+        h = opt["num_attention_heads"]
+        dh = opt["dim_hidden"] // h
+        prefix_len = self._prefix_len()
+        cache_len = max_len + prefix_len
+
+        layers_state = []
+        for layer in self.layers:
+            inter_kv, attr_kv = layer.init_step(
+                encoder_hidden_states, semantic_embs=semantic_embs,
+                preds_attr=preds_attr)
+            self_k = jnp.zeros((batch_size, h, cache_len, dh), dtype)
+            self_v = jnp.zeros((batch_size, h, cache_len, dh), dtype)
+            layers_state.append({"inter_kv": inter_kv, "attr_kv": attr_kv,
+                                 "self_k": self_k, "self_v": self_v})
+
+        state = {"layers": layers_state, "prefix_len": prefix_len,
+                 "aux": {"category": category, "category_embs": category_embs,
+                         "semantic_hidden_states": semantic_hidden_states,
+                         "semantic_embs": semantic_embs,
+                         "preds_attr": preds_attr}}
+
+        if prefix_len:
+            t = opt.get("use_attr_type") or ""
+            if "prefix" in t:
+                prefix_embs = semantic_embs
+            else:  # pp_emb: single GSG token, embedded exactly like training
+                prefix_embs = semantic_hidden_states[:, None, :]
+            # prefix tokens see only themselves: run each layer on the prefix
+            # block with a diagonal-only bias to obtain its K/V per layer.
+            x = prefix_embs
+            diag = jnp.where(jnp.eye(prefix_len, dtype=bool), 0.0, NEG_INF)
+            diag = diag[None, None].astype(jnp.float32)
+            for li, layer in enumerate(self.layers):
+                k, v = layer.prefill_self_kv(x, preds_attr=preds_attr)
+                st = layers_state[li]
+                st["self_k"] = st["self_k"].at[:, :, :prefix_len, :].set(k)
+                st["self_v"] = st["self_v"].at[:, :, :prefix_len, :].set(v)
+                # advance prefix hidden states through the layer so deeper
+                # layers cache the correct representations
+                x, _, _, _ = layer(
+                    x, encoder_hidden_states, attention_mask=diag,
+                    encoder_attention_mask=None, semantic_embs=semantic_embs,
+                    preds_attr=preds_attr, deterministic=True,
+                    decoding_type="ARFormer", n_frames=opt["n_frames"])
+        return state
+
+    def decode_step(self, token_ids, position, state) -> Dict[str, Any]:
+        """One AR step. token_ids: [B] int32; position: scalar int32 (word
+        position, 0-based). Returns (hidden [B, D], new_state)."""
+        opt = self.opt
+        prefix_len = state["prefix_len"]
+        aux = state["aux"]
+        cache_len = state["layers"][0]["self_k"].shape[2]
+
+        x = self.embedding(
+            token_ids[:, None], category=aux["category"],
+            category_embs=aux["category_embs"],
+            semantic_hidden_states=(None if prefix_len else
+                                    aux["semantic_hidden_states"]),
+            position_ids=jnp.full((token_ids.shape[0], 1), position),
+            only_word_and_position=bool(prefix_len and
+                                        "pp" in (opt.get("use_attr_type") or "")),
+            deterministic=True)
+        if (prefix_len and aux["semantic_hidden_states"] is not None
+                and "pp" not in (opt.get("use_attr_type") or "")):
+            pass  # 'prefix' mode adds nothing per-token
+        # note: 'emb'-only GSG (no prefix) is already added inside embedding
+
+        cache_pos = position + prefix_len
+        # bias over the cache: visible = prefix slots + positions <= current
+        ar = jnp.arange(cache_len)
+        visible = (ar < prefix_len) | ((ar >= prefix_len) &
+                                       (ar <= cache_pos))
+        self_bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
+        self_bias = self_bias[None, None, None, :]
+
+        new_layers = []
+        h = x
+        for layer, st in zip(self.layers, state["layers"]):
+            k_new, v_new = layer.prefill_self_kv(h, preds_attr=aux["preds_attr"])
+            self_k = jax.lax.dynamic_update_slice(
+                st["self_k"], k_new, (0, 0, cache_pos, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                st["self_v"], v_new, (0, 0, cache_pos, 0))
+            h = layer.step(h, position, (self_k, self_v), st["inter_kv"],
+                           attr_kv=st["attr_kv"], self_bias=self_bias,
+                           preds_attr=aux["preds_attr"],
+                           n_frames=opt["n_frames"])
+            new_layers.append({**st, "self_k": self_k, "self_v": self_v})
+
+        if hasattr(self, "final_ln"):
+            h = self.final_ln(h)
+        new_state = {**state, "layers": new_layers}
+        return h[:, 0, :], new_state
+
+
+class TwoStageTransformerDecoder(TransformerDecoder):
+    """NACF decoder: a visual-word pass (all <vis>) + an MLM pass
+    (reference ``Transformer.py:271-287``)."""
+
+    def __call__(self, input_ids, *args, **kwargs):
+        if isinstance(input_ids, (list, tuple)):
+            assert len(input_ids) in (2, 3)
+            outputs1 = super().__call__(input_ids[0], *args, **kwargs)
+            outputs2 = super().__call__(input_ids[1], *args, **kwargs)
+            outputs2["hidden_states"] = [outputs1["hidden_states"],
+                                         outputs2["hidden_states"]]
+            if len(input_ids) == 3:
+                kw = dict(kwargs)
+                kw["return_input_embs"] = True
+                outputs2["input_embs"] = super().__call__(input_ids[2], *args, **kw)
+                outputs2["sentence_embs"] = self.get_sentence_embeddings(
+                    input_ids[2], average_pooling=False,
+                    deterministic=kwargs.get("deterministic", True))
+            return outputs2
+        return super().__call__(input_ids, *args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# RNN decoders
+# ---------------------------------------------------------------------------
+
+class AdditiveAttention(nn.Module):
+    """Bahdanau attention with per-modality loop
+    (reference ``Attention.py:134-206``)."""
+    dim_hidden: int
+    dim_mid: int
+    num_feats: int = 1
+    feats_share_weights: bool = False
+    add_hybrid_attention_bias: bool = False
+    hybrid_length: int = 0
+
+    @nn.compact
+    def __call__(self, hidden_states, feats, return_raw: bool = False):
+        if not isinstance(feats, (list, tuple)):
+            feats = [feats]
+        n_layers = 1 if self.feats_share_weights else len(feats)
+        f_layers = [Dense(self.dim_mid, name=f"linear1_f_{i}")
+                    for i in range(n_layers)]
+        h_layer = Dense(self.dim_mid, name="linear1_h")
+        out_layer = Dense(1, use_bias=False, name="linear2")
+        hybrid = None
+        if self.add_hybrid_attention_bias:
+            hybrid = self.param("hybrid_bias", nn.initializers.zeros,
+                                (1, self.hybrid_length))
+
+        emb_h = h_layer(hidden_states)[:, None, :]     # [B, 1, mid]
+        probs, context = [], []
+        for i, inputs in enumerate(feats):
+            layer = f_layers[min(i, n_layers - 1)]
+            emb_f = layer(inputs)                      # [B, L, mid]
+            logits = out_layer(nn.tanh(emb_h + emb_f))[:, :, 0]  # [B, L]
+            if hybrid is not None:
+                logits = logits + hybrid
+            p = jax.nn.softmax(logits, axis=1)
+            ctx = jnp.einsum("bl,bld->bd", p, inputs)
+            probs.append(p)
+            context.append(ctx)
+
+        if return_raw:
+            return context, probs
+        return jnp.concatenate(context, axis=1), jnp.stack(probs, axis=1)
+
+
+class MultiLevelAttention(nn.Module):
+    """Two-stage temporal->modality attention (reference
+    ``Attention.py:209-237``)."""
+    dim_hidden: int
+    dim_mid: int
+    num_feats: int
+    feats_share_weights: bool = False
+
+    @nn.compact
+    def __call__(self, hidden_states, feats, return_raw: bool = False):
+        temporal = AdditiveAttention(self.dim_hidden, self.dim_mid,
+                                     num_feats=self.num_feats,
+                                     feats_share_weights=self.feats_share_weights,
+                                     name="temporal_aware_attention")
+        modal = AdditiveAttention(self.dim_hidden, self.dim_mid,
+                                  name="modality_aware_attention")
+        context, probs = temporal(hidden_states, feats, return_raw=True)
+        stacked = jnp.stack(context, axis=1)  # [B, num_feats, D]
+        ctx2, probs2 = modal(hidden_states, stacked, return_raw=True)
+        return ctx2[0] if isinstance(ctx2, list) else ctx2, probs + probs2
+
+
+class LSTMCellXavier(nn.Module):
+    """LSTM cell matching torch.nn.LSTMCell semantics: xavier kernels, zero
+    biases + forget-gate bias 1 (reference ``_init_lstm_forget_bias``)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        h, c = carry
+        gates = (Dense(4 * self.features, name="ih")(inputs)
+                 + Dense(4 * self.features, name="hh")(h))
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(i)
+        f = nn.sigmoid(f + 1.0)  # forget bias init = 1.0
+        g = nn.tanh(g)
+        o = nn.sigmoid(o)
+        new_c = f * c + i * g
+        new_h = o * nn.tanh(new_c)
+        return (new_h, new_c), new_h
+
+
+class GRUCellXavier(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        h = carry
+        rz = nn.sigmoid(Dense(2 * self.features, name="ih_rz")(inputs)
+                        + Dense(2 * self.features, name="hh_rz")(h))
+        r, z = jnp.split(rz, 2, axis=-1)
+        n = nn.tanh(Dense(self.features, name="ih_n")(inputs)
+                    + r * Dense(self.features, name="hh_n")(h))
+        new_h = (1 - z) * n + z * h
+        return new_h, new_h
+
+
+def _mean_video_features(encoder_hidden_states):
+    if not isinstance(encoder_hidden_states, (list, tuple)):
+        encoder_hidden_states = [encoder_hidden_states]
+    mean_v = jnp.mean(jnp.stack(encoder_hidden_states, axis=0), axis=0)
+    return mean_v.mean(axis=1)
+
+
+class SingleLayerRNNDecoder(nn.Module):
+    """SA-LSTM style single-cell decoder (reference ``RNN_single_layer.py``)."""
+    opt: Dict[str, Any]
+    has_v2h_v2c: bool = True
+
+    def setup(self):
+        opt = self.opt
+        self.word_embeddings = self.param(
+            "word_embeddings",
+            lambda key, shape: xavier()(key, shape).at[constants.PAD].set(0.0),
+            (opt["vocab_size"], opt["dim_hidden"]))
+        self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
+
+        self.rnn_type = opt.get("rnn_type", "lstm").lower()
+        cell_cls = LSTMCellXavier if self.rnn_type == "lstm" else GRUCellXavier
+        self.rnn = cell_cls(opt["dim_hidden"], name="rnn")
+
+        if self.has_v2h_v2c:
+            self.v2h = Dense(opt["dim_hidden"], name="v2h")
+            if self.rnn_type == "lstm":
+                self.v2c = Dense(opt["dim_hidden"], name="v2c")
+
+        modality = opt.get("modality_for_decoder") or opt["modality"]
+        self.num_modality = len(modality)
+        self.num_att_modality = (1 if opt["fusion"] == "temporal_concat"
+                                 else self.num_modality)
+
+        self.semantic_global_flag = (opt.get("use_attr", False)
+                                     and "emb" in (opt.get("use_attr_type") or ""))
+        self.semantic_local_flag = (opt.get("use_attr", False)
+                                    and "att" in (opt.get("use_attr_type") or ""))
+
+        hybrid_length = (opt["n_frames"] * self.num_modality
+                         + opt.get("use_attr_topk", 30))
+        if opt.get("with_multileval_attention", False):
+            self.att = MultiLevelAttention(
+                opt["dim_hidden"], opt["dim_hidden"],
+                num_feats=self.num_att_modality,
+                feats_share_weights=opt.get("feats_share_weights", False),
+                name="att")
+        else:
+            self.att = AdditiveAttention(
+                opt["dim_hidden"], opt["dim_hidden"],
+                num_feats=self.num_att_modality,
+                feats_share_weights=opt.get("feats_share_weights", False),
+                add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias", False),
+                hybrid_length=hybrid_length,
+                name="att")
+
+        if self.semantic_local_flag:
+            self.semantic_att = AdditiveAttention(
+                opt["dim_hidden"], opt["dim_hidden"], name="semantic_att")
+
+        self.dropout = nn.Dropout(opt["hidden_dropout_prob"])
+        self.with_category = opt.get("with_category", False)
+
+    def init_rnn_state(self, encoder_hidden_states):
+        bsz = (encoder_hidden_states[0].shape[0]
+               if isinstance(encoder_hidden_states, (list, tuple))
+               else encoder_hidden_states.shape[0])
+        d = self.opt["dim_hidden"]
+        if self.has_v2h_v2c:
+            mean_v = _mean_video_features(encoder_hidden_states)
+            hidden = self.v2h(mean_v)
+            cell = self.v2c(mean_v) if self.rnn_type == "lstm" else None
+        else:
+            hidden = jnp.zeros((bsz, d))
+            cell = jnp.zeros((bsz, d)) if self.rnn_type == "lstm" else None
+        return (hidden, cell) if self.rnn_type == "lstm" else hidden
+
+    def _get_h(self, state):
+        return state[0] if self.rnn_type == "lstm" else state
+
+    def forward_step(self, it, encoder_hidden_states, rnn_state=None,
+                     category=None, semantic_embs=None,
+                     semantic_hidden_states=None,
+                     deterministic: bool = True, **kwargs):
+        if rnn_state is None:
+            rnn_state = self.init_rnn_state(encoder_hidden_states)
+
+        h_query = self._get_h(rnn_state)
+        context, attention_probs = self.att(h_query, encoder_hidden_states)
+
+        word = jnp.take(self.word_embeddings, it, axis=0)
+        if self.semantic_global_flag:
+            word = word + semantic_hidden_states
+        word = self.LayerNorm(word)
+
+        rnn_inputs = [word]
+        if self.with_category:
+            rnn_inputs.append(category)
+        rnn_inputs.append(context)
+
+        outputs = {"context": context, "attention_probs": attention_probs}
+        if self.semantic_local_flag:
+            sem_ctx, sem_probs = self.semantic_att(h_query, semantic_embs)
+            rnn_inputs.append(sem_ctx)
+            outputs["semantic_attention_probs"] = sem_probs
+
+        x = self.dropout(jnp.concatenate(rnn_inputs, axis=-1),
+                         deterministic=deterministic)
+        rnn_state, _ = self.rnn(rnn_state, x)
+        final_h = self._get_h(rnn_state)
+        outputs.update({
+            "hidden_states": self.dropout(final_h, deterministic=deterministic),
+            "decoder_rnn_hidden_states": rnn_state,
+        })
+        return outputs
+
+    def __call__(self, input_ids, encoder_hidden_states, cls_head=None,
+                 schedule_sampling_prob: float = 0.0,
+                 deterministic: bool = True, **kwargs):
+        """Teacher-forcing loop with optional scheduled sampling
+        (reference ``RNN_single_layer.py:179-222``)."""
+        seq_len = input_ids.shape[1]
+        rnn_state = None
+        hs, probs, logits = [], [], []
+        rng = (self.make_rng("sampling")
+               if (not deterministic and schedule_sampling_prob > 0) else None)
+
+        for i in range(seq_len):
+            if i >= 1 and rng is not None:
+                rng, k1, k2 = jax.random.split(rng, 3)
+                coin = jax.random.uniform(k1, (input_ids.shape[0],))
+                sampled = jax.random.categorical(k2, logits[-1], axis=-1)
+                it = jnp.where(coin < schedule_sampling_prob, sampled,
+                               input_ids[:, i])
+            else:
+                it = input_ids[:, i]
+            out = self.forward_step(it, encoder_hidden_states, rnn_state,
+                                    deterministic=deterministic, **kwargs)
+            rnn_state = out["decoder_rnn_hidden_states"]
+            hs.append(out["hidden_states"])
+            probs.append(out["attention_probs"])
+            logits.append(cls_head(hs[-1]))
+
+        input_embs = jnp.take(self.word_embeddings, input_ids, axis=0)
+        return {
+            "hidden_states": jnp.stack(hs, axis=1),
+            "attention_probs": jnp.stack(probs, axis=2),
+            "logits": jnp.stack(logits, axis=1),
+            "sentence_embs": input_embs,
+        }
+
+
+def VOERNNDecoder(opt, name="decoder"):
+    """SingleLayerRNNDecoder without the v2h/v2c init
+    (reference ``RNN_single_layer.py:354-356``)."""
+    return SingleLayerRNNDecoder(opt, has_v2h_v2c=False, name=name)
+
+
+class TopDownAttentionRNNDecoder(nn.Module):
+    """Two-cell bottom-up/top-down decoder (reference
+    ``RNN_multi_layers.py:60-184``)."""
+    opt: Dict[str, Any]
+
+    def setup(self):
+        opt = self.opt
+        self.word_embeddings = self.param(
+            "word_embeddings",
+            lambda key, shape: xavier()(key, shape).at[constants.PAD].set(0.0),
+            (opt["vocab_size"], opt["dim_hidden"]))
+        self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
+        self.rnn_type = opt.get("rnn_type", "lstm").lower()
+        cell_cls = LSTMCellXavier if self.rnn_type == "lstm" else GRUCellXavier
+        self.bottom_rnn = cell_cls(opt["dim_hidden"], name="bottom_rnn")
+        self.top_rnn = cell_cls(opt["dim_hidden"], name="top_rnn")
+        self.v2h = Dense(opt["dim_hidden"], name="v2h")
+        self.v2c = Dense(opt["dim_hidden"], name="v2c")
+
+        modality = opt.get("modality_for_decoder") or opt["modality"]
+        self.num_modality = len(modality)
+        self.num_att_modality = (1 if opt["fusion"] == "temporal_concat"
+                                 else self.num_modality)
+        self.semantic_global_flag = (opt.get("use_attr", False)
+                                     and "emb" in (opt.get("use_attr_type") or ""))
+        self.semantic_local_flag = (opt.get("use_attr", False)
+                                    and "att" in (opt.get("use_attr_type") or ""))
+        hybrid_length = (opt["n_frames"] * self.num_modality
+                         + opt.get("use_attr_topk", 30))
+        self.att = AdditiveAttention(
+            opt["dim_hidden"], opt["dim_hidden"],
+            num_feats=self.num_att_modality,
+            feats_share_weights=opt.get("feats_share_weights", False),
+            add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias", False),
+            hybrid_length=hybrid_length, name="att")
+        if self.semantic_local_flag:
+            self.semantic_att = AdditiveAttention(
+                opt["dim_hidden"], opt["dim_hidden"], name="semantic_att")
+        self.dropout = nn.Dropout(opt["hidden_dropout_prob"])
+        self.with_category = opt.get("with_category", False)
+
+    def init_rnn_state(self, encoder_hidden_states):
+        mean_v = _mean_video_features(encoder_hidden_states)
+        hidden = nn.tanh(self.v2h(mean_v))
+        if self.rnn_type == "lstm":
+            cell = nn.tanh(self.v2c(mean_v))
+            bottom = (hidden, cell)
+            top = (jnp.zeros_like(hidden), jnp.zeros_like(cell))
+        else:
+            bottom = hidden
+            top = jnp.zeros_like(hidden)
+        return [bottom, top]
+
+    def _get_h(self, state):
+        return state[0] if self.rnn_type == "lstm" else state
+
+    def forward_step(self, it, encoder_hidden_states, rnn_state=None,
+                     category=None, semantic_embs=None,
+                     semantic_hidden_states=None,
+                     deterministic: bool = True, **kwargs):
+        if rnn_state is None:
+            rnn_state = self.init_rnn_state(encoder_hidden_states)
+        bottom_state, top_state = rnn_state
+
+        word = jnp.take(self.word_embeddings, it, axis=0)
+        if self.semantic_global_flag:
+            word = word + semantic_hidden_states
+        word = self.LayerNorm(word)
+        bottom_inputs = [word, self._get_h(top_state),
+                         _mean_video_features(encoder_hidden_states)]
+        if self.with_category:
+            bottom_inputs.append(category)
+        bottom_x = self.dropout(jnp.concatenate(bottom_inputs, axis=-1),
+                                deterministic=deterministic)
+        bottom_state, _ = self.bottom_rnn(bottom_state, bottom_x)
+
+        h_bottom = self._get_h(bottom_state)
+        context, attention_probs = self.att(h_bottom, encoder_hidden_states)
+        top_inputs = [h_bottom, context]
+        outputs = {"context": context, "attention_probs": attention_probs}
+        if self.semantic_local_flag:
+            sem_ctx, sem_probs = self.semantic_att(h_bottom, semantic_embs)
+            top_inputs.append(sem_ctx)
+            outputs["semantic_attention_probs"] = sem_probs
+        top_x = self.dropout(jnp.concatenate(top_inputs, axis=-1),
+                             deterministic=deterministic)
+        top_state, _ = self.top_rnn(top_state, top_x)
+
+        final_h = self._get_h(top_state)
+        outputs.update({
+            "hidden_states": self.dropout(final_h, deterministic=deterministic),
+            "decoder_rnn_hidden_states": [bottom_state, top_state],
+        })
+        return outputs
+
+    def __call__(self, input_ids, encoder_hidden_states, cls_head=None,
+                 schedule_sampling_prob: float = 0.0,
+                 deterministic: bool = True, **kwargs):
+        seq_len = input_ids.shape[1]
+        rnn_state = None
+        hs, probs, logits = [], [], []
+        rng = (self.make_rng("sampling")
+               if (not deterministic and schedule_sampling_prob > 0) else None)
+        for i in range(seq_len):
+            if i >= 1 and rng is not None:
+                rng, k1, k2 = jax.random.split(rng, 3)
+                coin = jax.random.uniform(k1, (input_ids.shape[0],))
+                sampled = jax.random.categorical(k2, logits[-1], axis=-1)
+                it = jnp.where(coin < schedule_sampling_prob, sampled,
+                               input_ids[:, i])
+            else:
+                it = input_ids[:, i]
+            out = self.forward_step(it, encoder_hidden_states, rnn_state,
+                                    deterministic=deterministic, **kwargs)
+            rnn_state = out["decoder_rnn_hidden_states"]
+            hs.append(out["hidden_states"])
+            probs.append(out["attention_probs"])
+            logits.append(cls_head(hs[-1]))
+
+        input_embs = jnp.take(self.word_embeddings, input_ids, axis=0)
+        return {
+            "hidden_states": jnp.stack(hs, axis=1),
+            "attention_probs": jnp.stack(probs, axis=2),
+            "logits": jnp.stack(logits, axis=1),
+            "sentence_embs": input_embs,
+        }
+
+
+def get_decoder(opt: dict) -> nn.Module:
+    name = opt["decoder"]
+    mapping = {
+        "TransformerDecoder": lambda: TransformerDecoder(opt, name="decoder"),
+        "TwoStageTransformerDecoder":
+            lambda: TwoStageTransformerDecoder(opt, name="decoder"),
+        "SingleLayerRNNDecoder":
+            lambda: SingleLayerRNNDecoder(opt, name="decoder"),
+        "VOERNNDecoder": lambda: VOERNNDecoder(opt),
+        "TopDownAttentionRNNDecoder":
+            lambda: TopDownAttentionRNNDecoder(opt, name="decoder"),
+    }
+    if name not in mapping:
+        raise ValueError(f"unknown decoder `{name}`")
+    return mapping[name]()

@@ -1,0 +1,155 @@
+"""Pallas TPU flash-attention (forward) kernel.
+
+Blockwise softmax-attention that never materialises the full ``[Lq, Lk]``
+score matrix in HBM: for each query block it streams key/value blocks through
+VMEM, keeping a running max / running sum (the standard online-softmax
+recurrence). Used for long key axes (retrieval-augmented and dense-patch
+configs reach Lk≈1568, reference ``models/components/Layers.py:87-88``) and
+sized so the MXU sees (128, 128) tiles.
+
+Supports an additive bias term (pad/causal mask folded to 0/-1e9 plus the
+learned hybrid-attention bias), which is how the surrounding model passes all
+masking (reference ``Attention.py:104-111``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                      m_scratch, l_scratch, acc_scratch,
+                      *, block_k: int, kv_len: int, scale: float,
+                      has_bias: bool):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]                          # [block_q, dh]
+    k = k_ref[0]                          # [block_k, dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                             # [block_q, block_k]
+
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+
+    # mask out-of-range keys of the (padded) last block
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_pos < kv_len, s, NEG_INF)
+
+    m_prev = m_scratch[:]                 # [block_q, 1]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)                # [block_q, block_k]
+    alpha = jnp.exp(m_prev - m_new)       # [block_q, 1]
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0]                          # [block_k, dh]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        l = l_scratch[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(query, key, value, bias=None, block_q: int = 128,
+                    block_k: int = 128, interpret: bool = False):
+    """Flash attention forward. query/key/value: [B, H, L, Dh]; bias
+    broadcastable to [B, H, Lq, Lk] (already includes masks)."""
+    b, h, lq, dh = query.shape
+    lk = key.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    lq_pad = _ceil_to(lq, block_q)
+    lk_pad = _ceil_to(lk, block_k)
+    if lq_pad != lq:
+        query = jnp.pad(query, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        key = jnp.pad(key, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.broadcast_to(bias, (b, h, lq, lk)).astype(jnp.float32)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lq_pad - lq), (0, lk_pad - lk)))
+
+    bh = b * h
+    q = query.reshape(bh, lq_pad, dh)
+    k = key.reshape(bh, lk_pad, dh)
+    v = value.reshape(bh, lk_pad, dh)
+
+    grid = (bh, lq_pad // block_q, lk_pad // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), lambda i, j, t: (i, j, t),
+                         memory_space=pltpu.VMEM))
+        args.append(bias.reshape(bh, lq_pad, lk_pad))
+    else:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1), lambda i, j, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1), jnp.float32))
+
+    kernel = functools.partial(
+        _flash_fwd_kernel, block_k=block_k, kv_len=lk, scale=scale,
+        has_bias=has_bias)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dh), query.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * lq_pad * lk_pad * dh,
+            bytes_accessed=(q.size + k.size + v.size) * 4,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+    )(*args)
+
+    out = out.reshape(b, h, lq_pad, dh)
+    return out[:, :, :lq, :]
