@@ -1,0 +1,284 @@
+"""Translators: batch caption generation (AR beam search / NAR refinement).
+
+API parity with reference ``models/Translator.py``: ``get_translator(opt)``
+returns an object whose ``translate_batch(models, batch, ...)`` yields
+per-instance hypothesis token lists + scores. ``models`` is a list of
+``(captioner_module, variables)`` pairs — ensembling averages per-step log
+probabilities exactly like ``Translator.py:111-133``.
+
+TPU-first: the whole decode (encode once -> enlarge by beam -> KV-cache
+while_loop -> ranking) is one jitted program per (model, shape) signature;
+results come back as fixed-shape arrays and only the final id->sentence
+conversion happens on host.
+"""
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from care_tpu import constants
+from care_tpu.decoding.beam_search import beam_search
+from care_tpu.decoding import nar
+from care_tpu.models.framework import Captioner
+
+
+def get_translator(opt: dict):
+    if opt["decoding_type"] == "ARFormer":
+        return TranslatorARFormer(opt)
+    if opt["decoding_type"] == "NARFormer":
+        return TranslatorNARFormer(opt)
+    raise ValueError(opt["decoding_type"])
+
+
+def auto_enlarge(tree, beam_size: int):
+    """Repeat every array instance-major along axis 0 (reference
+    ``misc/utils.py:261-279``): row n*K+k belongs to instance n."""
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, beam_size, axis=0) if x is not None else None,
+        tree, is_leaf=lambda x: x is None)
+
+
+class Translator:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _batch_inputs(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        keep = ("category", "category_embs")
+        return {k: batch[k] for k in keep if k in batch}
+
+
+class TranslatorARFormer(Translator):
+    """Batched beam search with KV cache (replaces ``Translator_ARFormer``)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.beam_size = opt.get("beam_size", 5)
+        self.beam_alpha = opt.get("beam_alpha", 1.0)
+        self.topk = opt.get("topk", 1)
+        self.max_len = opt.get("max_len", 30)
+
+    def _build_fn(self, models, batch_keys, is_rnn: bool):
+        opt = self.opt
+        beam_size, max_len = self.beam_size, self.max_len
+        topk, alpha = self.topk, self.beam_alpha
+        vocab = opt["vocab_size"]
+
+        def run(all_variables, feats, batch_aux):
+            N = feats[0].shape[0]
+            carries = []
+            all_inputs = []
+            for (model, _), variables in zip(models, all_variables):
+                enc = model.apply(variables, feats,
+                                  method=Captioner.encoding_phase)
+                inputs = model.apply(
+                    variables, enc, batch_aux,
+                    method=Captioner.prepare_inputs_for_decoder)
+                inputs = auto_enlarge(inputs, beam_size)
+                all_inputs.append(inputs)
+                if is_rnn:
+                    carry = model.apply(
+                        variables, inputs, method=Captioner.init_rnn_carry)
+                else:
+                    carry = model.apply(
+                        variables, inputs, max_len,
+                        method=Captioner.init_decode_state)
+                carries.append(carry)
+
+            def step_fn(tokens, position, carry_tuple):
+                logps = []
+                new_carries = []
+                for (model, _), variables, inputs, carry in zip(
+                        models, all_variables, all_inputs, carry_tuple):
+                    if is_rnn:
+                        logits, new_carry = model.apply(
+                            variables, tokens, carry, inputs,
+                            method=Captioner.rnn_decode_step)
+                        logps.append(jax.nn.log_softmax(logits, axis=-1))
+                    else:
+                        out, new_carry, is_prob = model.apply(
+                            variables, tokens, position, carry, inputs,
+                            method=Captioner.decode_step)
+                        logps.append(out if is_prob
+                                     else jax.nn.log_softmax(out, axis=-1))
+                    new_carries.append(new_carry)
+                logp = jnp.mean(jnp.stack(logps, axis=0), axis=0)
+                return logp, tuple(new_carries)
+
+            return beam_search(
+                step_fn, tuple(carries), batch_size=N, vocab_size=vocab,
+                beam_size=beam_size, max_len=max_len, beam_alpha=alpha,
+                topk=topk)
+
+        return jax.jit(run)
+
+    def translate_batch(self, models, batch: Dict[str, Any], *args, **kwargs
+                        ) -> Tuple[List[List[List[int]]], List[List[float]]]:
+        """models: list of (captioner, variables). Returns (hyps, scores)
+        shaped like the reference: hyps[n] = list of topk token-id lists."""
+        if not isinstance(models, list):
+            models = [models]
+        is_rnn = "rnn" in self.opt["decoder"].lower()
+        batch_aux = self._batch_inputs(batch)
+        key = (tuple(id(m) for m, _ in models),
+               tuple(sorted(batch_aux.keys())), is_rnn)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fn(models,
+                                                  tuple(sorted(batch_aux)),
+                                                  is_rnn)
+        fn = self._jit_cache[key]
+        all_variables = [v for _, v in models]
+        hyp_tokens, hyp_scores, hyp_lengths, hyp_valid = fn(
+            all_variables, batch["feats"], batch_aux)
+
+        hyp_tokens = np.asarray(hyp_tokens)
+        hyp_scores = np.asarray(hyp_scores)
+        hyp_lengths = np.asarray(hyp_lengths)
+        hyp_valid = np.asarray(hyp_valid)
+
+        all_hyp, all_scores = [], []
+        for n in range(hyp_tokens.shape[0]):
+            hyps, scores = [], []
+            for k in range(hyp_tokens.shape[1]):
+                if not hyp_valid[n, k]:
+                    continue
+                L = int(hyp_lengths[n, k])
+                hyps.append(hyp_tokens[n, k, :L].tolist())
+                scores.append(float(hyp_scores[n, k]))
+            all_hyp.append(hyps)
+            all_scores.append(scores)
+        return all_hyp, all_scores
+
+
+class TranslatorNARFormer(Translator):
+    """Length-beam NAR refinement (replaces ``Translator_NARFormer``)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.paradigm = opt.get("paradigm", "mp")
+        assert self.paradigm in ("mp", "l2r", "ef")
+        self.max_len = opt["max_len"]
+        self.length_beam_size = opt["length_beam_size"]
+        self.beam_alpha = opt.get("beam_alpha", 1.0)
+        self.length_bias = opt.get("length_bias", 0)
+
+    def _build_fn(self, model, variables_teacher, vocab_mapping):
+        opt = self.opt
+        lbs = self.length_beam_size
+        max_len = self.max_len
+        paradigm = self.paradigm
+
+        def run(variables, feats, batch_aux, teacher_variables):
+            N = feats[0].shape[0]
+            model_obj, teacher_obj = model
+            enc = model_obj.apply(variables, feats,
+                                  method=Captioner.encoding_phase)
+            inputs = model_obj.apply(variables, enc, batch_aux,
+                                     method=Captioner.prepare_inputs_for_decoder)
+            inputs = auto_enlarge(inputs, lbs)
+
+            # length beam (reference Translator.py:307-318)
+            if "preds_length" in enc:
+                _, beam = jax.lax.top_k(enc["preds_length"], lbs)
+                beam = beam + self.length_bias
+                beam = jnp.clip(beam, 4, max_len)
+            else:
+                lo, hi = opt.get("na_length_range", [5, 11])
+                beam = jnp.broadcast_to(jnp.arange(lo, hi)[None, :lbs], (N, lbs))
+
+            lengths = beam.reshape(N * lbs)                 # [N*lbs]
+            pos = jnp.arange(max_len)[None, :]
+            canvas = jnp.where(pos < lengths[:, None],
+                               constants.MASK, constants.PAD).astype(jnp.int32)
+
+            def forward_logits(tokens):
+                out = model_obj.apply(
+                    variables, tokens, inputs,
+                    method=Captioner.decoding_phase,
+                    collect_aux=False)
+                logits = out["logits"]
+                if isinstance(logits, list):
+                    logits = logits[-1]
+                return logits
+
+            teacher_score = None
+            if teacher_obj is not None:
+                t_enc = teacher_obj.apply(teacher_variables, feats,
+                                          method=Captioner.encoding_phase)
+                t_inputs = teacher_obj.apply(
+                    teacher_variables, t_enc, batch_aux,
+                    method=Captioner.prepare_inputs_for_decoder)
+                t_inputs = auto_enlarge(t_inputs, lbs)
+                pad_mask = canvas == constants.PAD
+                eos_mask = canvas == constants.EOS
+
+                def teacher_score(tokens, is_last):
+                    if is_last and opt.get("no_candidate_decision", False):
+                        return jnp.ones_like(tokens, dtype=jnp.float32)
+                    if not is_last and not opt.get("masking_decision", False):
+                        return jnp.ones_like(tokens, dtype=jnp.float32)
+                    toks = tokens
+                    if vocab_mapping is not None:
+                        toks = jnp.take(vocab_mapping, tokens, axis=0)
+                    with_bos = jnp.concatenate(
+                        [jnp.full((toks.shape[0], 1), constants.BOS,
+                                  toks.dtype), toks], axis=1)
+                    out = teacher_obj.apply(
+                        teacher_variables, with_bos[:, :-1], t_inputs,
+                        method=Captioner.decoding_phase, collect_aux=False)
+                    probs = jax.nn.softmax(out["logits"], axis=-1)
+                    p = jnp.take_along_axis(probs, toks[:, :, None],
+                                            axis=2)[:, :, 0]
+                    p = jnp.where(pad_mask, 1.0, p)
+                    if not is_last:
+                        p = jnp.where(eos_mask, 1.0, p)
+                    return p
+
+            algo_kwargs = {}
+            if paradigm == "mp":
+                algo_kwargs = dict(iterations=opt.get("iterations", 5),
+                                   use_ct=opt.get("use_ct", False))
+            else:
+                algo_kwargs = dict(q=opt.get("q", 1),
+                                   q_iterations=opt.get("q_iterations", 1),
+                                   use_ct=opt.get("use_ct", False))
+            hypotheses, lprobs = nar.ALGORITHMS[paradigm](
+                canvas, forward_logits, teacher_score=teacher_score,
+                **algo_kwargs)
+
+            hypotheses = hypotheses.reshape(N, lbs, max_len)
+            lprobs = lprobs.reshape(N, lbs, max_len)
+            tgt_lengths = lengths.reshape(N, lbs).astype(jnp.float32)
+            avg_log_prob = lprobs.sum(-1) / (tgt_lengths ** self.beam_alpha)
+            best = jnp.argmax(avg_log_prob, axis=-1)        # [N]
+            hyp = jnp.take_along_axis(hypotheses, best[:, None, None], axis=1)
+            lp = jnp.take_along_axis(lprobs, best[:, None, None], axis=1)
+            return hyp[:, 0], lp[:, 0]
+
+        return jax.jit(run)
+
+    def translate_batch(self, models, batch: Dict[str, Any],
+                        teacher=None, vocab_mapping=None, **kwargs):
+        """models: list with one (captioner, variables) pair; ``teacher``:
+        optional (captioner, variables) AR teacher for rescoring."""
+        if isinstance(models, list):
+            assert len(models) == 1
+            model, variables = models[0]
+        else:
+            model, variables = models
+        teacher_obj, teacher_vars = (teacher if teacher is not None
+                                     else (None, None))
+        vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
+              else None)
+        key = (id(model), id(teacher_obj), self.paradigm)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fn(
+                (model, teacher_obj), teacher_vars, vm)
+        fn = self._jit_cache[key]
+        batch_aux = self._batch_inputs(batch)
+        hyp, lp = fn(variables, batch["feats"], batch_aux,
+                     teacher_vars if teacher_vars is not None else {})
+        return np.asarray(hyp).tolist(), np.asarray(lp).tolist()

@@ -268,7 +268,7 @@ class TransformerDecoder(nn.Module):
             layers_state.append({"inter_kv": inter_kv, "attr_kv": attr_kv,
                                  "self_k": self_k, "self_v": self_v})
 
-        state = {"layers": layers_state, "prefix_len": prefix_len,
+        state = {"layers": layers_state,
                  "aux": {"category": category, "category_embs": category_embs,
                          "semantic_hidden_states": semantic_hidden_states,
                          "semantic_embs": semantic_embs,
@@ -303,7 +303,7 @@ class TransformerDecoder(nn.Module):
         """One AR step. token_ids: [B] int32; position: scalar int32 (word
         position, 0-based). Returns (hidden [B, D], new_state)."""
         opt = self.opt
-        prefix_len = state["prefix_len"]
+        prefix_len = self._prefix_len()
         aux = state["aux"]
         cache_len = state["layers"][0]["self_k"].shape[2]
 

@@ -291,6 +291,10 @@ class Captioner(nn.Module):
             return jnp.log(probs + 1e-9), new_state, True
         return logits, new_state, False
 
+    def init_rnn_carry(self, inputs_for_decoder: Dict[str, Any]):
+        return self.decoder.init_rnn_state(
+            inputs_for_decoder["encoder_hidden_states"])
+
     def rnn_decode_step(self, token_ids, rnn_state,
                         inputs_for_decoder: Dict[str, Any]):
         kwargs = {k: v for k, v in inputs_for_decoder.items()

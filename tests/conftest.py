@@ -1,0 +1,24 @@
+import os
+
+# CPU-only tests with 8 virtual devices for sharding tests; must be set
+# before jax import.
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+# Under the axon tunnel JAX_PLATFORMS=cpu may not demote the default
+# backend; pin default device to CPU explicitly so tests never touch the
+# (slow-to-compile) TPU.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
