@@ -1,0 +1,109 @@
+"""Optimizers and LR schedules (optax).
+
+Parity targets: reference ``models/Wrapper.py:316-386`` (Adam + StepLR /
+cosine / linear-warmup / plateau, optional weight-decay filtering) and
+``Wrapper.py:460-547`` (the CARE dual-optimizer recipe: after
+``lowlr_start_epoch`` a *fresh* Adam takes over with a low LR on the
+encoder + concept detector and the base LR elsewhere; both schedules decay
+per epoch from step 0).
+
+torch.optim.Adam's ``weight_decay`` is L2-on-gradient (not AdamW), i.e.
+``optax.add_decayed_weights`` *before* the Adam moments.
+"""
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+
+def make_lr_schedule(opt: dict, steps_per_epoch: int,
+                     base_lr: Optional[float] = None) -> Callable:
+    lr = base_lr if base_lr is not None else opt.get("learning_rate", 5e-4)
+    kind = opt.get("lr_scheduler_type", "linear")
+    if kind == "linear":  # StepLR per epoch
+        decay = opt.get("lr_decay", 0.9)
+        step_size = opt.get("lr_step_size", 1)
+
+        def sched(step):
+            epoch = step // steps_per_epoch
+            return lr * (decay ** (epoch // step_size))
+        return sched
+    if kind == "cosine":
+        total = opt.get("max_steps") or (opt["epochs"] * steps_per_epoch)
+        return optax.cosine_decay_schedule(
+            lr, total, alpha=opt.get("min_lr", 1e-6) / lr)
+    if kind == "linear_with_warmup":
+        total = opt.get("max_steps") or (opt["epochs"] * steps_per_epoch)
+        if opt.get("learning_rate_warmup_ratio"):
+            warmup = int(total * opt["learning_rate_warmup_ratio"])
+        else:
+            warmup = opt.get("learning_rate_warmup_steps", 1000)
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.linear_schedule(lr, 0.0, max(total - warmup, 1))],
+            [warmup])
+    # 'plateau' is handled host-side by the trainer scaling a mutable factor
+    return lambda step: lr
+
+
+def _decay_mask(params, filter_biases: bool):
+    """True = apply weight decay. Mirrors ``add_weight_decay``: 1-D params
+    (biases, LN gains) are excluded when filtering."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: (v.ndim > 1 if filter_biases else True)
+            for k, v in flat.items()}
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_adam(opt: dict, schedule: Callable, params) -> optax.GradientTransformation:
+    wd = opt.get("weight_decay", 0.001)
+    chain = []
+    if opt.get("gradient_clip_val", 0.0):
+        chain.append(optax.clip_by_global_norm(opt["gradient_clip_val"]))
+    if wd:
+        if opt.get("filter_weight_decay", False):
+            chain.append(optax.masked(
+                optax.add_decayed_weights(wd),
+                _decay_mask(params, opt.get("filter_biases", False))))
+        else:
+            chain.append(optax.add_decayed_weights(wd))
+    chain.append(optax.scale_by_adam())
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
+
+
+def lowlr_param_labels(params, opt: dict) -> Dict:
+    """Label params 'low' (encoder + concept detector) vs 'normal'
+    (reference ``Wrapper.py:493-508``)."""
+    names = ["encoder", "Predictor_attribute"]
+    if opt.get("decoding_type") == "NARFormer":
+        names.append("SemanticContainer")
+
+    flat = traverse_util.flatten_dict(params)
+    labels = {}
+    for k in flat:
+        path = "/".join(str(p) for p in k)
+        labels[k] = "low" if any(n in path for n in names) else "normal"
+    return traverse_util.unflatten_dict(labels)
+
+
+def make_dual_adam(opt: dict, params, steps_per_epoch: int,
+                   offset_steps: int = 0):
+    """The post-switch optimizer of the CARE recipe: low LR on encoder +
+    concept detector, base LR elsewhere, both with per-epoch StepLR decay
+    counted from training step 0 (reference steps both schedulers every
+    epoch from the start). ``offset_steps`` accounts for the optimizer being
+    freshly initialised at the switch epoch while its scheduler has already
+    decayed."""
+    low = make_lr_schedule(opt, steps_per_epoch,
+                           base_lr=opt.get("low_learning_rate", 5e-5))
+    base = make_lr_schedule(opt, steps_per_epoch)
+    low_sched = (lambda step: low(step + offset_steps))
+    base_sched = (lambda step: base(step + offset_steps))
+    labels = lowlr_param_labels(params, opt)
+    return optax.multi_transform(
+        {"low": make_adam(opt, low_sched, params),
+         "normal": make_adam(opt, base_sched, params)},
+        labels)

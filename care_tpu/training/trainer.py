@@ -1,0 +1,339 @@
+"""Training runtime: the Lightning replacement.
+
+Parity targets: reference ``train.py:30-145`` + ``models/Wrapper.py`` —
+jitted train step over epochs, per-epoch caption generation + COCO scoring
+on the validation set, CIDEr-monitored top-k checkpoints with
+``start_saving_epoch``, best-checkpoint reload for testing, CSV/TensorBoard
+logging, the scheduled-sampling probability ramp, the epoch-indexed
+``training_scales`` re-weighting, and the CARE dual-optimizer switch at
+``lowlr_start_epoch``.
+
+TPU-first: one jit-compiled ``train_step`` (forward + multi-task loss +
+grads + Adam update) over static shapes; optional data-parallel sharding of
+the batch over a mesh (``care_tpu.parallel``); all metric recorders come
+back as scalars accumulated host-side.
+"""
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from care_tpu import constants
+from care_tpu.models import build_captioner
+from care_tpu.models.framework import Captioner
+from care_tpu.decoding import get_translator
+from care_tpu.training.losses import Criterion, ATTR_FLAG_TO_KEY
+from care_tpu.training import optim as optim_lib
+from care_tpu.training.checkpoints import CheckpointManager, save_checkpoint
+from care_tpu.metrics import COCOScorer
+from care_tpu.utils.logger import (AverageMeter, MetricTracker,
+                                   analyze_length_novel_unique,
+                                   save_dict_to_csv, to_sentence)
+
+ARRAY_BATCH_KEYS_SKIP = ("video_ids", "caption_ids", "frame_ids")
+
+
+def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Keep only array-valued entries (jit-compatible)."""
+    out = {}
+    for k, v in batch.items():
+        if k in ARRAY_BATCH_KEYS_SKIP:
+            continue
+        if isinstance(v, np.ndarray):
+            out[k] = jnp.asarray(v)
+        elif isinstance(v, list) and v and isinstance(v[0], np.ndarray):
+            out[k] = [jnp.asarray(x) for x in v]
+    return out
+
+
+def schedule_sampling_prob(opt: dict, epoch: int) -> float:
+    """reference ``Framework.py:221-229``."""
+    start = opt.get("scheduled_sampling_start", -1)
+    if start < 0 or epoch <= start:
+        return 0.0
+    frac = (epoch - start) // opt.get("scheduled_sampling_increase_every", 5)
+    return min(opt.get("scheduled_sampling_increase_prob", 0.05) * frac,
+               opt.get("scheduled_sampling_max_prob", 0.25))
+
+
+class Trainer:
+    def __init__(self, opt: dict, train_loader=None, val_loader=None,
+                 test_loader=None, references=None, vocab=None,
+                 log_dir: Optional[str] = None, mesh=None):
+        self.opt = opt
+        self.model = build_captioner(opt)
+        self.translator = get_translator(opt)
+        self.criterion = Criterion(opt, override_opt={"calculate_mAP": False})
+        self.eval_criterion = Criterion(opt, skip_crit_list=["lang"],
+                                        override_opt={"calculate_mAP": True},
+                                        with_metrics=True)
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.references = references
+        self.vocab = vocab
+        self.mesh = mesh
+
+        self.ckpt_manager = CheckpointManager(
+            opt.get("checkpoint_path", "./exps/run"),
+            monitor_metric=opt.get("monitor_metric", "CIDEr"),
+            monitor_mode=opt.get("monitor_mode", "max"),
+            save_topk=opt.get("save_topk_models", 1),
+            start_saving_epoch=opt.get("start_saving_epoch", 0))
+
+        self.tb = None
+        if log_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
+
+        self.variables = None
+        self.opt_state = None
+        self.tx = None
+        self.global_step = 0
+        self.best_scores: Dict[str, float] = {}
+        self._train_step_fn = None
+        self._needs_aux = any(
+            f != "V" for f in (opt.get("attribute_prediction_flags") or "V")
+        ) and "attribute" in opt["crits"]
+
+    # ------------------------------------------------------------------
+    def init_model(self, example_batch: Dict[str, Any], seed: int = None):
+        seed = self.opt.get("seed", 0) if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        batch = device_batch(example_batch)
+        self.variables = self.model.init(
+            {"params": rng, "dropout": rng, "sampling": rng}, batch,
+            deterministic=False)
+        return self.variables
+
+    def _build_tx(self, steps_per_epoch: int):
+        opt = self.opt
+        params = self.variables["params"]
+        sched = optim_lib.make_lr_schedule(opt, steps_per_epoch)
+        self.tx1 = optim_lib.make_adam(opt, sched, params)
+        self.tx = self.tx1
+        self.opt_state = self.tx1.init(params)
+        self.lr_sched = sched
+        self.steps_per_epoch = steps_per_epoch
+        self._is_multi_optimizer = (opt.get("wrapper") ==
+                                    "MultipleOptimizerModel")
+        self._switched = False
+
+    def _maybe_switch_optimizer(self, epoch: int):
+        """CARE recipe: a fresh low-LR-on-(encoder,detector) Adam takes over
+        at ``lowlr_start_epoch`` (reference ``Wrapper.py:529-537``)."""
+        if (self._is_multi_optimizer and not self._switched
+                and epoch >= self.opt.get("lowlr_start_epoch", 10)):
+            params = self.variables["params"]
+            tx2 = optim_lib.make_dual_adam(
+                self.opt, params, self.steps_per_epoch,
+                offset_steps=self.global_step)
+            self.tx = tx2
+            self.opt_state = tx2.init(params)
+            self._train_step_fn = None  # re-jit with the new tx
+            self._switched = True
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        model = self.model
+        criterion = self.criterion
+        tx = self.tx
+        opt = self.opt
+        has_batch_stats = "batch_stats" in (self.variables or {})
+        collect_aux = self._needs_aux
+
+        def train_step(params, extra_vars, opt_state, batch, rng, ss_prob):
+            dropout_rng, sampling_rng = jax.random.split(rng)
+
+            def loss_fn(p):
+                variables = {"params": p, **extra_vars}
+                rngs = {"dropout": dropout_rng, "sampling": sampling_rng}
+                if has_batch_stats:
+                    outputs, mutated = model.apply(
+                        variables, batch, deterministic=False,
+                        schedule_sampling_prob=ss_prob,
+                        collect_aux=collect_aux, rngs=rngs,
+                        mutable=["batch_stats"])
+                else:
+                    outputs = model.apply(
+                        variables, batch, deterministic=False,
+                        schedule_sampling_prob=ss_prob,
+                        collect_aux=collect_aux, rngs=rngs)
+                    mutated = {}
+
+                def project_fn(feats, flag):
+                    return model.apply(variables, feats, flag,
+                                       method=Captioner.project_attribute)
+
+                results = {**outputs, **batch}
+                total, losses, metrics = criterion(results, project_fn)
+                return total, (losses, metrics, mutated)
+
+            (loss, (losses, metrics, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return new_params, mutated, new_opt_state, loss, losses, metrics
+
+        return jax.jit(train_step)
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None):
+        opt = self.opt
+        epochs = epochs if epochs is not None else opt["epochs"]
+        assert self.train_loader is not None
+
+        if self.variables is None:
+            first = next(iter(self.train_loader))
+            self.init_model(first)
+        if self.tx is None:
+            self._build_tx(max(len(self.train_loader), 1))
+
+        training_scales = opt.get("training_scales", {}) or {}
+        rng = jax.random.PRNGKey(opt.get("seed", 0) + 1)
+
+        for epoch in range(epochs):
+            self._maybe_switch_optimizer(epoch)
+            if epoch in training_scales:
+                self.criterion.set_scales(training_scales[epoch])
+                self._train_step_fn = None
+
+            if self._train_step_fn is None:
+                self._train_step_fn = self._make_train_step()
+
+            ss_prob = schedule_sampling_prob(opt, epoch)
+            self.train_loader.set_epoch(epoch)
+            loss_meter = AverageMeter()
+            t0 = time.time()
+            for batch in self.train_loader:
+                rng, step_rng = jax.random.split(rng)
+                b = device_batch(batch)
+                params = self.variables["params"]
+                extra = {k: v for k, v in self.variables.items()
+                         if k != "params"}
+                (params, mutated, self.opt_state, loss, losses,
+                 metrics) = self._train_step_fn(
+                    params, extra, self.opt_state, b, step_rng, ss_prob)
+                self.variables = {"params": params, **extra, **mutated}
+                loss_meter.update(float(loss))
+                self.global_step += 1
+
+            epoch_time = time.time() - t0
+            log = {"train_loss": loss_meter.avg, "epoch_time": epoch_time,
+                   "schedule_sampling_prob": ss_prob}
+            if self.tb:
+                for k, v in log.items():
+                    self.tb.add_scalar(k, v, epoch)
+
+            # validation: generation + COCO scoring
+            scores = {}
+            if self.val_loader is not None and (
+                    (epoch + 1) % opt.get("check_val_every_n_epoch", 1) == 0):
+                scores = self.validate(epoch)
+
+            self.ckpt_manager.on_epoch_end(epoch, self.variables, opt, scores)
+            print(f"- epoch {epoch}: loss={loss_meter.avg:.4f} "
+                  f"{self._fmt_scores(scores)} ({epoch_time:.1f}s)")
+        return self.best_scores
+
+    def _fmt_scores(self, scores):
+        keys = ["CIDEr", "Bleu_4", "METEOR", "ROUGE_L", "Sum"]
+        return " ".join(f"{k}={scores[k]:.4f}" for k in keys if k in scores)
+
+    # ------------------------------------------------------------------
+    def translate_step(self, batch) -> Dict[str, list]:
+        """Generate captions for a batch; returns dict[vid] -> preds."""
+        b = device_batch(batch)
+        hyps, scores = self.translator.translate_batch(
+            [(self.model, self.variables)], b)
+        preds = {}
+        for i, vid in enumerate(batch["video_ids"]):
+            if not bool(batch.get("batch_mask", np.ones(1))[i] if
+                        "batch_mask" in batch else True):
+                continue
+            entries = []
+            hyps_i = hyps[i] if isinstance(hyps[i][0], list) else [hyps[i]]
+            for k, hyp in enumerate(hyps_i):
+                caption = to_sentence(hyp, self.vocab)
+                score = scores[i][k] if isinstance(scores[i], list) \
+                    else scores[i]
+                entries.append({"image_id": vid, "caption": caption,
+                                "score": float(np.ravel(score)[0])})
+            preds[vid] = entries
+        return preds
+
+    def validate(self, epoch: int = 0, loader=None, references=None,
+                 log_prefix: str = "") -> Dict[str, float]:
+        loader = loader or self.val_loader
+        references = references or self.references
+        preds = {}
+        for batch in loader:
+            preds.update(self.translate_step(batch))
+
+        scorer = COCOScorer()
+        scores, _ = scorer.score(references, preds, list(preds.keys()))
+        candidate = [scores["Bleu_4"], scores["METEOR"], scores["ROUGE_L"],
+                     scores["CIDEr"]]
+        scores["Sum"] = sum(s for s, flag in
+                            zip(candidate, self.opt["metric_sum"]) if flag)
+
+        for key in ("Sum", "CIDEr"):
+            if scores[key] > self.best_scores.get(key, float("-inf")):
+                self.best_scores[key] = scores[key]
+        if self.tb:
+            for k, v in scores.items():
+                if isinstance(v, (int, float)):
+                    self.tb.add_scalar(f"{log_prefix or 'vali'}_{k}", v, epoch)
+        return scores
+
+    # ------------------------------------------------------------------
+    def test(self, loader=None, references=None, info_corpus=None,
+             save_csv_path: Optional[str] = None,
+             keys_added_to_scores=("seed",)) -> Dict[str, float]:
+        """Best-checkpoint evaluation + caption-quality analysis + CSV
+        (reference ``Wrapper.py:75-149``)."""
+        loader = loader or self.test_loader
+        references = references or self.references
+        preds = {}
+        for batch in loader:
+            preds.update(self.translate_step(batch))
+
+        scorer = COCOScorer()
+        scores, detail = scorer.score(references, preds, list(preds.keys()))
+        candidate = [scores["Bleu_4"], scores["METEOR"], scores["ROUGE_L"],
+                     scores["CIDEr"]]
+        scores["Sum"] = sum(s for s, flag in
+                            zip(candidate, self.opt["metric_sum"]) if flag)
+
+        for key in keys_added_to_scores:
+            v = self.opt.get(key)
+            scores[key] = ("-".join(map(str, v))
+                           if isinstance(v, (list, tuple)) else v)
+
+        if info_corpus is not None:
+            ave_length, novel, unique, usage = analyze_length_novel_unique(
+                info_corpus["captions"], preds, vocab=self.vocab,
+                splits=info_corpus["info"]["split"], n=1)
+            scores.update({"ave_length": ave_length, "novel": novel,
+                           "unique": unique, "usage": usage})
+
+        if self.opt.get("save_csv", False):
+            path = save_csv_path or self.opt["checkpoint_path"]
+            save_dict_to_csv(path, self.opt.get("csv_name",
+                                                "test_result.csv"), scores)
+        return scores
+
+    def load_best(self):
+        from care_tpu.training.checkpoints import load_checkpoint
+        path = self.ckpt_manager.best_path
+        if path:
+            self.variables, _, _ = load_checkpoint(path, self.variables)
+        return self.variables
