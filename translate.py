@@ -1,0 +1,124 @@
+"""Inference CLI: load checkpoint(s), generate captions, score, time.
+
+Parity target: reference ``translate.py`` — single or ensemble checkpoints,
+manual eval loop, optional per-video latency timing appended to
+``latency.txt`` (``method\ttask\ttotal\tn\tavg``), per-sample detail-score
+JSON dumps, ``--loop_n_frames`` sensitivity sweep.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-cp", "--checkpoint_paths", nargs="+", type=str,
+                   required=True)
+    p.add_argument("--mode", type=str, default="test",
+                   choices=["train", "validate", "test", "all", "trainval"])
+    p.add_argument("--base_data_path", type=str, default="")
+    p.add_argument("-bs", "--beam_size", type=int, default=None)
+    p.add_argument("-ba", "--beam_alpha", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--latency", action="store_true")
+    p.add_argument("--loop_n_frames", nargs="+", type=int, default=[])
+    p.add_argument("--json_path", type=str, default="")
+    p.add_argument("--json_name", type=str, default="preds.json")
+    p.add_argument("--save_detail_scores_path", type=str, default="")
+    p.add_argument("--retrieval_db_ratio", type=float, default=100)
+    p.add_argument("--retrieval_datasets", nargs="+", type=str, default=[])
+    return p.parse_args()
+
+
+def run_eval(models, opt, loader, references, vocab, latency=False):
+    from care_tpu.decoding import get_translator
+    from care_tpu.metrics import COCOScorer
+    from care_tpu.utils.logger import to_sentence
+
+    translator = get_translator(opt)
+    preds = {}
+    total_time, n_videos = 0.0, 0
+    for batch in loader:
+        import jax.numpy as jnp
+        b = {"feats": [jnp.asarray(f) for f in batch["feats"]]}
+        for k in ("category", "category_embs"):
+            if k in batch and isinstance(batch[k], np.ndarray):
+                b[k] = jnp.asarray(batch[k])
+        t0 = time.perf_counter()
+        hyps, scores = translator.translate_batch(models, b)
+        total_time += time.perf_counter() - t0
+        n_videos += len(batch["video_ids"])
+        for i, vid in enumerate(batch["video_ids"]):
+            entries = []
+            hyps_i = hyps[i] if isinstance(hyps[i][0], list) else [hyps[i]]
+            for k, hyp in enumerate(hyps_i):
+                caption = to_sentence(hyp, vocab)
+                entries.append({"image_id": vid, "caption": caption,
+                                "score": float(np.ravel(scores[i])[k]
+                                               if np.ndim(scores[i]) else
+                                               scores[i])})
+            preds[vid] = entries[:1]
+
+    scorer = COCOScorer()
+    scores, detail = scorer.score(references, preds, list(preds.keys()))
+    return scores, detail, preds, total_time, n_videos
+
+
+def main():
+    from care_tpu.models.loading import load_model, modify_opt_if_necessary
+    from care_tpu.data import get_loader
+    from care_tpu.data.corpus import load_info_corpus, load_references
+
+    args = parse_args()
+    paths = args.checkpoint_paths
+    models, opt = load_model(
+        paths if len(paths) > 1 else paths[0],
+        new_opt_used_to_override={
+            k: v for k, v in
+            {"beam_size": args.beam_size, "beam_alpha": args.beam_alpha}
+            .items() if v is not None},
+        base_data_path=args.base_data_path or None)
+    opt = modify_opt_if_necessary(opt, args.retrieval_datasets,
+                                  args.retrieval_db_ratio)
+
+    info_corpus = load_info_corpus(opt["info_corpus"])
+    references = load_references(opt["reference"])
+    vocab = info_corpus["info"]["itow"]
+
+    batch_size = 1 if args.latency else args.batch_size
+    n_frames_list = args.loop_n_frames or [opt["n_frames"]]
+
+    for n_frames in n_frames_list:
+        opt["n_frames"] = n_frames
+        loader = get_loader(opt, args.mode, not_shuffle=True,
+                            is_validation=(args.mode == "validate"),
+                            batch_size=batch_size)
+        scores, detail, preds, total, n = run_eval(
+            models, opt, loader, references, vocab, latency=args.latency)
+        print(f"n_frames={n_frames}:",
+              {k: round(v, 4) for k, v in scores.items()})
+
+        if args.latency:
+            avg = total / max(n, 1)
+            with open("latency.txt", "a") as f:
+                f.write(f"{opt.get('method','')}\t{opt.get('task','')}\t"
+                        f"{total}\t{n}\t{avg}\n")
+            print(f"- latency: total={total:.2f}s n={n} avg={avg*1000:.2f}ms")
+
+        if args.json_path:
+            os.makedirs(args.json_path, exist_ok=True)
+            with open(os.path.join(args.json_path, args.json_name), "w") as f:
+                json.dump(preds, f)
+        if args.save_detail_scores_path:
+            os.makedirs(os.path.dirname(args.save_detail_scores_path) or ".",
+                        exist_ok=True)
+            with open(args.save_detail_scores_path, "w") as f:
+                json.dump(detail, f)
+
+
+if __name__ == "__main__":
+    main()
