@@ -32,15 +32,23 @@ def reference_style_decode(model, variables, feats, opt, beam_size=5,
                              method=Captioner.prepare_inputs_for_decoder)
         return auto_enlarge(inputs, beam_size)
 
-    @jax.jit
-    def step_logits(variables, input_ids, inputs):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("pos",))
+    def step_logits(variables, input_ids, inputs, pos):
         out = model.apply(variables, input_ids, inputs,
                           method=Captioner.decoding_phase,
-                          last_time_step_logits=True, collect_aux=False)
-        return jax.nn.log_softmax(out["logits"], axis=-1)
+                          collect_aux=False)
+        return jax.nn.log_softmax(out["logits"][:, pos, :], axis=-1)
 
     N = feats[0].shape[0]
     K = beam_size
+
+    def bucket(t):
+        b = 8
+        while b < t:
+            b *= 2
+        return min(b, max_len)
 
     def run_once():
         inputs = jax.tree.map(lambda x: x, encode(variables, feats))
@@ -49,8 +57,15 @@ def reference_style_decode(model, variables, feats, opt, beam_size=5,
         tokens = np.full((N, K, 1), constants.BOS, dtype=np.int64)
         done = np.zeros(N, dtype=bool)
         for t in range(1, max_len):
-            flat = jnp.asarray(tokens.reshape(N * K, -1))
-            logp = np.asarray(step_logits(variables, flat, inputs))
+            # pad the prefix to a length bucket so the jitted full-forward
+            # recompute (the reference's execution model) compiles O(log L)
+            # times instead of once per step; PAD keys are masked out so
+            # the position t-1 logits are identical to the unpadded run
+            b = bucket(t)
+            flat = np.full((N * K, b), constants.PAD, dtype=np.int64)
+            flat[:, :t] = tokens.reshape(N * K, t)
+            logp = np.asarray(step_logits(variables, jnp.asarray(flat),
+                                          inputs, t - 1))
             logp = logp.reshape(N, K, vocab)
             new_tokens = np.zeros((N, K, t + 1), dtype=np.int64)
             for n in range(N):          # host-side per-instance loop
