@@ -256,7 +256,8 @@ class TranslatorNARFormer(Translator):
             best = jnp.argmax(avg_log_prob, axis=-1)        # [N]
             hyp = jnp.take_along_axis(hypotheses, best[:, None, None], axis=1)
             lp = jnp.take_along_axis(lprobs, best[:, None, None], axis=1)
-            return hyp[:, 0], lp[:, 0]
+            # shape [N, 1, max_len], matching the reference's output layout
+            return hyp, lp
 
         return jax.jit(run)
 

@@ -52,8 +52,40 @@ def _synonyms(word):
     return syns
 
 
+def _align_native(hyp: List[str], ref: List[str]):
+    """Native (C++) exact+stem alignment; None when lib/wordnet conditions
+    don't allow it (native path skips the wordnet synonym stage, so it is
+    only used when wordnet data is absent — which also holds for the python
+    path then)."""
+    if _get_wordnet() is not None:
+        return None
+    try:
+        from care_tpu import native
+        if not native.available():
+            return None
+        interned = {}
+        he = [interned.setdefault(t, len(interned)) for t in hyp]
+        re_ = [interned.setdefault(t, len(interned)) for t in ref]
+        if _STEMMER is not None:
+            hs = [interned.setdefault(_STEMMER.stem(t), len(interned))
+                  for t in hyp]
+            rs = [interned.setdefault(_STEMMER.stem(t), len(interned))
+                  for t in ref]
+        else:
+            hs, rs = he, re_
+        result = native.meteor_align(he, hs, re_, rs)
+        if result is None:
+            return None
+        return result[0]
+    except Exception:
+        return None
+
+
 def _align(hyp: List[str], ref: List[str]):
     """Greedy stage-wise alignment; returns list of (hyp_idx, ref_idx)."""
+    native_matches = _align_native(hyp, ref)
+    if native_matches is not None:
+        return native_matches
     matches = []
     used_h, used_r = set(), set()
 

@@ -6,9 +6,23 @@ Pure-python reimplementation of the pycocoevalcap ``Rouge`` scorer algorithm
 
 
 def _lcs_len(a, b):
-    """Length of the longest common subsequence (O(len(a)*len(b)))."""
+    """Length of the longest common subsequence (O(len(a)*len(b))).
+
+    Uses the native C++ core (care_tpu/native) when built; token strings are
+    interned to int ids for the C ABI."""
     if not a or not b:
         return 0
+    try:
+        from care_tpu import native
+        if native.available():
+            interned = {}
+            ai = [interned.setdefault(t, len(interned)) for t in a]
+            bi = [interned.setdefault(t, len(interned)) for t in b]
+            r = native.lcs_len(ai, bi)
+            if r is not None:
+                return r
+    except Exception:
+        pass
     prev = [0] * (len(b) + 1)
     for i in range(1, len(a) + 1):
         cur = [0] * (len(b) + 1)
