@@ -99,6 +99,8 @@ class Captioner(nn.Module):
 
     def setup(self):
         opt = self.opt
+        from care_tpu.models.backbone import get_backbone
+        self.backbone = get_backbone(opt)
         self.encoder = get_encoder(opt)
         self.predictor = Predictor(opt, name="predictor") \
             if has_predictor(opt) else None
@@ -124,6 +126,9 @@ class Captioner(nn.Module):
                 semantic_logits = other_feats[0]
             if opt.get("retrieval", False):
                 text_embs = other_feats[-1]
+
+        if self.backbone is not None:
+            feats = self.backbone(feats)
 
         # split the 't' stream off before the dense encoder
         ret_input_ids = None

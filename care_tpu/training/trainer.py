@@ -249,11 +249,32 @@ class Trainer:
         return " ".join(f"{k}={scores[k]:.4f}" for k in keys if k in scores)
 
     # ------------------------------------------------------------------
+    def _get_teacher(self):
+        """Attach the AR teacher for NAR rescoring (reference
+        ``Wrapper.py:287-294``)."""
+        if (self.opt.get("decoding_type") != "NARFormer"
+                or not self.opt.get("teacher_path")):
+            return None, None
+        if not hasattr(self, "_teacher"):
+            from care_tpu.models.loading import load_model, get_vocab_mapping
+            models, t_opt = load_model(self.opt["teacher_path"])
+            vm = None
+            try:
+                vm = get_vocab_mapping(self.opt, t_opt)
+            except Exception:
+                vm = None
+            self._teacher = (models[0], vm)
+        return self._teacher
+
     def translate_step(self, batch) -> Dict[str, list]:
         """Generate captions for a batch; returns dict[vid] -> preds."""
         b = device_batch(batch)
+        teacher, vocab_mapping = self._get_teacher()
+        kwargs = {}
+        if teacher is not None:
+            kwargs = {"teacher": teacher, "vocab_mapping": vocab_mapping}
         hyps, scores = self.translator.translate_batch(
-            [(self.model, self.variables)], b)
+            [(self.model, self.variables)], b, **kwargs)
         preds = {}
         for i, vid in enumerate(batch["video_ids"]):
             if not bool(batch.get("batch_mask", np.ones(1))[i] if
@@ -305,6 +326,22 @@ class Trainer:
         preds = {}
         for batch in loader:
             preds.update(self.translate_step(batch))
+
+        # VATEX missing-video completion from an I3D model's predictions
+        # (reference ``Wrapper.py:94-105``)
+        if (self.opt.get("dataset") == "VATEX"
+                and self.opt.get("feats", "") != "I3D"
+                and self.opt.get("VATEX_I3D_preds_json", "")):
+            import json
+            with open(self.opt["VATEX_I3D_preds_json"]) as f:
+                completion = json.load(f)
+            n_missing = 0
+            for key, val in completion.items():
+                if key not in preds:
+                    preds[key] = val
+                    n_missing += 1
+            if n_missing:
+                print(f"- Adding {n_missing} missing predictions")
 
         scorer = COCOScorer()
         scores, detail = scorer.score(references, preds, list(preds.keys()))

@@ -65,10 +65,14 @@ def run(opt):
     test_loader = get_loader(opt, "test", not_shuffle=True,
                              batch_size=opt.get("eval_batch_size", 128))
 
-    trainer = Trainer(opt, train_loader=train_loader, val_loader=val_loader,
-                      test_loader=test_loader, references=references,
-                      vocab=vocab,
-                      log_dir=os.path.join(opt["checkpoint_path"], "tb"))
+    trainer_cls = Trainer
+    if opt.get("wrapper") == "InterplayModel":
+        from care_tpu.training.mean_teacher import MeanTeacherTrainer
+        trainer_cls = MeanTeacherTrainer
+    trainer = trainer_cls(
+        opt, train_loader=train_loader, val_loader=val_loader,
+        test_loader=test_loader, references=references, vocab=vocab,
+        log_dir=os.path.join(opt["checkpoint_path"], "tb"))
 
     if opt.get("load_model_weights_from"):
         from care_tpu.models.loading import (
