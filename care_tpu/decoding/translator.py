@@ -68,11 +68,17 @@ class TranslatorARFormer(Translator):
         vocab = opt["vocab_size"]
 
         def run(all_variables, feats, batch_aux):
-            N = feats[0].shape[0]
+            # feats: list of arrays shared by all models, OR (heterogeneous
+            # ensembles) a list with one feats-list per model (reference
+            # ModelEnsemble.preprocess_batch_before_translate_step)
+            per_model = isinstance(feats[0], (list, tuple))
+            N = (feats[0][0] if per_model else feats[0]).shape[0]
             carries = []
             all_inputs = []
-            for (model, _), variables in zip(models, all_variables):
-                enc = model.apply(variables, feats,
+            for idx, ((model, _), variables) in enumerate(
+                    zip(models, all_variables)):
+                model_feats = feats[idx] if per_model else feats
+                enc = model.apply(variables, model_feats,
                                   method=Captioner.encoding_phase)
                 inputs = model.apply(
                     variables, enc, batch_aux,

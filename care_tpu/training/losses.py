@@ -255,6 +255,62 @@ def length_loss(opt, results):
 
 
 # ---------------------------------------------------------------------------
+# auxiliary attention losses (defined in the reference ``crit_attn.py`` but
+# not reachable from shipped configs; implemented for capability parity and
+# registered under crits 'attn' / 'gate')
+# ---------------------------------------------------------------------------
+
+def attn_sparse_loss(opt, results):
+    """L1 hinge pushing per-word attr-attention mass toward a threshold
+    (reference ``crit_attn.py:7-38``)."""
+    probs = results["attr_attention_probs"]
+    if isinstance(probs, (list, tuple)):
+        probs = probs[-1]
+    labels = results["labels"]
+    if isinstance(labels, (list, tuple)):
+        labels = labels[-1]
+    threshold = opt.get("use_attr_attn_loss_threshold", 1)
+    mass = probs.sum(-1).mean(1)                 # (bsz, seq_len)
+    pad = labels == constants.PAD
+    mass = jnp.where(pad, threshold, mass)
+
+    target = jnp.full(labels.shape, float(threshold))
+    if opt.get("use_attr_attn_loss_mask", False):
+        attribute_mask = results["attribute_mask"]
+        target = jnp.where(attribute_mask == 0, 0.0, target)
+    mass = jnp.where(mass < target, float(threshold), mass)
+    loss = jnp.abs(mass - target)
+    keep = (~pad).astype(jnp.float32)
+    loss = jnp.sum(loss * keep, axis=1) / jnp.maximum(keep.sum(axis=1), 1.0)
+    denom = jnp.asarray(labels.shape[0], jnp.float32)
+    return loss.sum() / denom, {}
+
+
+def gate_loss(opt, results):
+    """BCE of gate probabilities against the non-stop-word mask
+    (reference ``crit_attn.py:41-66``)."""
+    labels = results["labels"]
+    if isinstance(labels, (list, tuple)):
+        labels = labels[-1]
+    target = results["non_stop_words_mask"].reshape(-1).astype(jnp.float32)
+    valid = (labels != constants.PAD).reshape(-1).astype(jnp.float32)
+    gate_probs = results["gate_probs"]
+    if not isinstance(gate_probs, (list, tuple)):
+        gate_probs = [gate_probs]
+    loss = 0.0
+    for probs in gate_probs:
+        p = probs.mean(2).reshape(-1)
+        loss = loss + -(target * jnp.log(p + 1e-12)
+                        + (1 - target) * jnp.log(1 - p + 1e-12))
+    loss = jnp.sum(loss * valid)
+    if opt.get("attentive_loss_wise", False):
+        loss = loss / jnp.maximum(valid.sum(), 1.0)
+        return loss, {}
+    denom = jnp.asarray(labels.shape[0], jnp.float32)
+    return loss / denom, {}
+
+
+# ---------------------------------------------------------------------------
 # criterion aggregator
 # ---------------------------------------------------------------------------
 
@@ -302,6 +358,14 @@ class Criterion:
                 l, m = length_loss(self.opt, results)
                 losses["Length Loss"] = l
                 total = total + l * self.scales["length"]
+            elif crit == "attn":
+                l, m = attn_sparse_loss(self.opt, results)
+                losses["Attn Loss"] = l
+                total = total + l * self.scales.get("attn", 1.0)
+            elif crit == "gate":
+                l, m = gate_loss(self.opt, results)
+                losses["Gate Loss"] = l
+                total = total + l * self.scales.get("gate", 1.0)
             else:
                 raise ValueError(f"unknown crit `{crit}`")
         return total, losses, metrics
