@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from care_tpu import constants
+from care_tpu.ops.topk import hierarchical_top_k
 
 DEAD = -1e20
 
@@ -105,7 +106,9 @@ def beam_search(
         beam_lk = jnp.where(eos_row[:, :, None], DEAD, beam_lk)
 
         flat = beam_lk.reshape(N, K * V)
-        best_scores, best_ids = jax.lax.top_k(flat, K)     # [N, K]
+        # exact two-stage top-k: lax.top_k over 55k-wide axes is a compile-
+        # time and runtime hazard on TPU (see ops/topk.py)
+        best_scores, best_ids = hierarchical_top_k(flat, K)   # [N, K]
         prev_k = best_ids // V
         new_tok = best_ids - prev_k * V
 

@@ -94,6 +94,30 @@ class TranslatorARFormer(Translator):
                         method=Captioner.init_decode_state)
                 carries.append(carry)
 
+            def gather_carry(carry_tuple, row_idx):
+                """Reorder only the per-row-evolving state (self-attn KV /
+                RNN state). Cross-attention and attr K/V are enlarged
+                per-beam but identical within an instance, and the beam
+                permutation never crosses instances -- gathering them is a
+                semantic no-op, so skip the bandwidth."""
+                new = []
+                for carry in carry_tuple:
+                    if is_rnn:
+                        new.append(jax.tree.map(
+                            lambda x: jnp.take(x, row_idx, axis=0), carry))
+                    else:
+                        layers = []
+                        for st in carry["layers"]:
+                            layers.append({
+                                **st,
+                                "self_k": jnp.take(st["self_k"], row_idx,
+                                                   axis=0),
+                                "self_v": jnp.take(st["self_v"], row_idx,
+                                                   axis=0),
+                            })
+                        new.append({**carry, "layers": layers})
+                return tuple(new)
+
             def step_fn(tokens, position, carry_tuple):
                 logps = []
                 new_carries = []
@@ -117,7 +141,7 @@ class TranslatorARFormer(Translator):
             return beam_search(
                 step_fn, tuple(carries), batch_size=N, vocab_size=vocab,
                 beam_size=beam_size, max_len=max_len, beam_alpha=alpha,
-                topk=topk)
+                topk=topk, gather_carry=gather_carry)
 
         return jax.jit(run)
 

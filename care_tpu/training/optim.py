@@ -48,6 +48,42 @@ def make_lr_schedule(opt: dict, steps_per_epoch: int,
     return lambda step: lr
 
 
+class PlateauController:
+    """Host-side ReduceLROnPlateau (reference ``Wrapper.py:362-376``):
+    multiply the injected learning rate by ``factor`` after ``patience``
+    epochs without improvement of the monitored metric."""
+
+    def __init__(self, opt: dict):
+        self.mode = opt.get("lr_monitor_mode", "max")
+        self.metric = opt.get("lr_monitor_metric", "CIDEr")
+        self.patience = opt.get("lr_monitor_patience", 1)
+        self.factor = opt.get("lr_decay", 0.9)
+        self.min_lr = opt.get("min_lr", 1e-6)
+        self.best = None
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def update(self, scores: dict) -> float:
+        """Feed this epoch's scores; returns the current LR scale."""
+        v = scores.get(self.metric)
+        if v is None:
+            return self.scale
+        better = (self.best is None
+                  or (v > self.best if self.mode == "max" else v < self.best))
+        if better:
+            self.best = v
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.scale
+
+    def current_lr(self, base_lr: float) -> float:
+        return max(base_lr * self.scale, self.min_lr)
+
+
 def _decay_mask(params, filter_biases: bool):
     """True = apply weight decay. Mirrors ``add_weight_decay``: 1-D params
     (biases, LN gains) are excluded when filtering."""

@@ -239,6 +239,22 @@ class Trainer:
                     (epoch + 1) % opt.get("check_val_every_n_epoch", 1) == 0):
                 scores = self.validate(epoch)
 
+            # host-side ReduceLROnPlateau (reference Wrapper.py:362-376):
+            # when the monitored metric stalls, rebuild the optimizer chain
+            # with a scaled constant LR (Adam moments are preserved, the
+            # opt_state pytree structure is unchanged)
+            if opt.get("lr_scheduler_type") == "plateau" and scores:
+                if not hasattr(self, "_plateau"):
+                    from care_tpu.training.optim import PlateauController
+                    self._plateau = PlateauController(opt)
+                prev = self._plateau.scale
+                self._plateau.update(scores)
+                if self._plateau.scale != prev:
+                    lr = self._plateau.current_lr(opt["learning_rate"])
+                    self.tx = optim_lib.make_adam(
+                        opt, lambda step: lr, self.variables["params"])
+                    self._train_step_fn = None
+
             self.ckpt_manager.on_epoch_end(epoch, self.variables, opt, scores)
             print(f"- epoch {epoch}: loss={loss_meter.avg:.4f} "
                   f"{self._fmt_scores(scores)} ({epoch_time:.1f}s)")
