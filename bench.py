@@ -13,7 +13,13 @@ two execution models; the reference publishes no absolute numbers
 """
 
 import json
+import os
 import time
+
+# persistent compilation cache: repeated bench runs skip the (minutes-long
+# through the TPU tunnel) XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 import jax

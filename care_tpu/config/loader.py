@@ -85,9 +85,46 @@ def load_yaml(opt: dict, key, yaml_name: str, modify_scope: bool = False,
         opt["scope"] = (new_scope + "_" + opt["scope"]) if opt.get("scope") else new_scope
 
 
+def check_whether_to_load_weights(opt: dict) -> None:
+    """Task-level teacher-weight inheritance (reference
+    ``misc/utils.py:62-98``): a task with ``weights_from_inherit: true``
+    resolves its parent task's scope to preload ``best.ckpt``."""
+    if not opt.get("task"):
+        return
+    with open(_yaml_path("tasks")) as f:
+        yaml_data = yaml.safe_load(f)
+    entry = yaml_data.get(opt["task"], {})
+    if not entry.get("weights_from_inherit", False):
+        return
+    assert "inherit_from" in entry, entry.keys()
+
+    def get_scope_format(key):
+        if isinstance(key, list):
+            key = key[0]
+        if "scope_format" in yaml_data[key]:
+            return yaml_data[key]["scope_format"]
+        return get_scope_format(yaml_data[key]["inherit_from"])
+
+    fmt, names = get_scope_format(entry["inherit_from"])
+    values = []
+    for name in names:
+        v = opt.get(name)
+        if isinstance(v, list):
+            v = "-".join(str(x) for x in v)
+        values.append(v)
+    inherit_scope = fmt.format(*values)
+    parent = entry["inherit_from"]
+    if isinstance(parent, list):
+        parent = parent[0]
+    opt["load_model_weights_from"] = os.path.join(
+        constants.BASE_CHECKPOINT_PATH, opt["dataset"], opt.get("method", ""),
+        parent, inherit_scope, "best.ckpt")
+
+
 def apply_yaml_overlays(opt: dict) -> None:
     """Apply the five-level overlay: method, task, setup, feats, arch."""
     load_yaml(opt, opt.get("method"), "methods")
+    check_whether_to_load_weights(opt)
     load_yaml(opt, opt.get("task"), "tasks", modify_scope=True, name_to_path=True)
     load_yaml(opt, opt.get("setup"), "setups")
     load_yaml(opt, opt.get("feats"), "feats")
@@ -221,6 +258,19 @@ def get_opt(overrides: dict = None, resolve_paths: bool = True,
         constants.BASE_CHECKPOINT_PATH, opt["dataset"], opt.get("method") or "",
         opt.get("task") or "", opt.get("scope") or "")
 
+    # NACF teacher path inference (reference ``opts.py:311-324``): the AR-B
+    # teacher checkpoint lives in the parallel ARB experiment folder
+    if (opt.get("decoding_type") == "NARFormer"
+            and opt.get("with_teacher_during_training")):
+        if not opt.get("teacher_path"):
+            if "NACF" in opt["checkpoint_path"]:
+                opt["teacher_path"] = os.path.join(
+                    opt["checkpoint_path"].replace("NACF", "ARB"),
+                    "best.ckpt")
+        if opt.get("load_teacher_weights") and opt.get("teacher_path"):
+            opt["load_model_weights_from"] = opt["teacher_path"]
+            opt["load_strictly"] = False
+
     if resolve_paths:
         base = opt.get("base_data_path") or constants.BASE_DATA_PATH
 
@@ -235,6 +285,13 @@ def get_opt(overrides: dict = None, resolve_paths: bool = True,
                     "feats_o_name", "feats_t_name", "feats_r_name",
                     "reference_name", "info_corpus_name"]:
             mid = "retrieval" if key == "feats_r_name" else ("feats" if "feats" in key else "")
+            if key == "info_corpus_name" and opt.get("distilled_info_corpus_name"):
+                # NAR distillation corpus swap (reference opts.py:337-342)
+                assert opt["decoding_type"] == "NARFormer"
+                opt["info_corpus"] = to_dir(
+                    mid, opt.pop("distilled_info_corpus_name"))
+                opt.pop(key, None)
+                continue
             opt[key[:-5]] = to_dir(mid, opt.get(key, ""))
             opt.pop(key, None)
 
