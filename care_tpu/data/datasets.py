@@ -68,6 +68,9 @@ class VideoOnlyDataset:
     def __len__(self):
         return len(self.ids_set)
 
+    def __getitem__(self, index) -> Dict[str, Any]:
+        return self.get_video_features_by_vid("video%d" % self.ids_set[index])
+
     def get_video_features_by_vid(self, vid) -> Dict[str, Any]:
         _dict: Dict[str, Any] = {"video_ids": vid}
 
@@ -329,6 +332,33 @@ class JointDataset(VideoOnlyDataset, TextOnlyDataset):
             one_hot[self.infoset[index]["category"]] = 1
             data["category"] = one_hot
         return data
+
+    def get_specific_data_by_vid_and_cap_id(self, vid, cap_id=None,
+                                            text=None):
+        """Single-sample fetch for analysis (reference
+        ``dataloader.py:745-772``); returns a batch of size 1."""
+        assert cap_id is not None or text is not None
+        data = self.get_video_features_by_vid(vid)
+        if text is not None:
+            label = [0] + [self.wtoi[w] for w in text.split()] + [0]
+            label[0], label[-1] = 2, 3  # BOS, EOS
+            tagging = None
+            cap_id = -1
+        else:
+            label = self.captions[vid][cap_id]
+            tagging = self.pos_tags[vid][cap_id] if self.pos_tags else None
+        from care_tpu.data import text as text_mod
+        results = text_mod.make_source_target(
+            label, tagging, self.opt["max_len"], self.mode,
+            self.opt.get("decoding_type", "ARFormer"), self.random,
+            beta=self.opt.get("beta", [0, 1]),
+            visual_word_generation=self.opt.get("visual_word_generation",
+                                                False),
+            itow=self.itow, itop=self.itop)
+        data["input_ids"] = np.asarray(results["dec_source"], np.int64)
+        data["labels"] = np.asarray(results["dec_target"], np.int64)
+        from care_tpu.data.loader import collate
+        return collate([data])
 
     def load_t_feats(self, item, vid):
         db = item[1][0]

@@ -439,16 +439,32 @@ class MultiLevelAttention(nn.Module):
         return ctx2[0] if isinstance(ctx2, list) else ctx2, probs + probs2
 
 
-class LSTMCellXavier(nn.Module):
-    """LSTM cell matching torch.nn.LSTMCell semantics: xavier kernels, zero
-    biases + forget-gate bias 1 (reference ``_init_lstm_forget_bias``)."""
+def _rnn_uniform_init(features):
+    """torch LSTMCell/GRUCell default init: U(-1/sqrt(h), 1/sqrt(h)) for all
+    kernels and biases (the reference's xavier pass touches only Linear and
+    Embedding modules, so cells keep this default)."""
+    k = 1.0 / (features ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -k, k)
+    return init
+
+
+def _rnn_dense(features_out, cell_features, name):
+    init = _rnn_uniform_init(cell_features)
+    return nn.Dense(features_out, kernel_init=init, bias_init=init, name=name)
+
+
+class LSTMCellTorch(nn.Module):
+    """LSTM cell matching torch.nn.LSTMCell semantics: uniform init,
+    forget-gate bias +1 (reference ``_init_lstm_forget_bias``)."""
     features: int
 
     @nn.compact
     def __call__(self, carry, inputs):
         h, c = carry
-        gates = (Dense(4 * self.features, name="ih")(inputs)
-                 + Dense(4 * self.features, name="hh")(h))
+        gates = (_rnn_dense(4 * self.features, self.features, "ih")(inputs)
+                 + _rnn_dense(4 * self.features, self.features, "hh")(h))
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = nn.sigmoid(i)
         f = nn.sigmoid(f + 1.0)  # forget bias init = 1.0
@@ -459,17 +475,19 @@ class LSTMCellXavier(nn.Module):
         return (new_h, new_c), new_h
 
 
-class GRUCellXavier(nn.Module):
+class GRUCellTorch(nn.Module):
     features: int
 
     @nn.compact
     def __call__(self, carry, inputs):
         h = carry
-        rz = nn.sigmoid(Dense(2 * self.features, name="ih_rz")(inputs)
-                        + Dense(2 * self.features, name="hh_rz")(h))
+        rz = nn.sigmoid(
+            _rnn_dense(2 * self.features, self.features, "ih_rz")(inputs)
+            + _rnn_dense(2 * self.features, self.features, "hh_rz")(h))
         r, z = jnp.split(rz, 2, axis=-1)
-        n = nn.tanh(Dense(self.features, name="ih_n")(inputs)
-                    + r * Dense(self.features, name="hh_n")(h))
+        n = nn.tanh(_rnn_dense(self.features, self.features, "ih_n")(inputs)
+                    + r * _rnn_dense(self.features, self.features,
+                                     "hh_n")(h))
         new_h = (1 - z) * n + z * h
         return new_h, new_h
 
@@ -495,7 +513,7 @@ class SingleLayerRNNDecoder(nn.Module):
         self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
 
         self.rnn_type = opt.get("rnn_type", "lstm").lower()
-        cell_cls = LSTMCellXavier if self.rnn_type == "lstm" else GRUCellXavier
+        cell_cls = LSTMCellTorch if self.rnn_type == "lstm" else GRUCellTorch
         self.rnn = cell_cls(opt["dim_hidden"], name="rnn")
 
         if self.has_v2h_v2c:
@@ -645,7 +663,7 @@ class TopDownAttentionRNNDecoder(nn.Module):
             (opt["vocab_size"], opt["dim_hidden"]))
         self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
         self.rnn_type = opt.get("rnn_type", "lstm").lower()
-        cell_cls = LSTMCellXavier if self.rnn_type == "lstm" else GRUCellXavier
+        cell_cls = LSTMCellTorch if self.rnn_type == "lstm" else GRUCellTorch
         self.bottom_rnn = cell_cls(opt["dim_hidden"], name="bottom_rnn")
         self.top_rnn = cell_cls(opt["dim_hidden"], name="top_rnn")
         self.v2h = Dense(opt["dim_hidden"], name="v2h")
