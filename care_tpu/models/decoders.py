@@ -279,7 +279,9 @@ class TransformerDecoder(nn.Module):
             if "prefix" in t:
                 prefix_embs = semantic_embs
             else:  # pp_emb: single GSG token, embedded exactly like training
-                prefix_embs = semantic_hidden_states[:, None, :]
+                prefix_embs = self.embedding.embed_pp_prefix(
+                    semantic_hidden_states, category=category,
+                    category_embs=category_embs)
             # prefix tokens see only themselves: run each layer on the prefix
             # block with a diagonal-only bias to obtain its K/V per layer.
             x = prefix_embs
@@ -307,19 +309,16 @@ class TransformerDecoder(nn.Module):
         aux = state["aux"]
         cache_len = state["layers"][0]["self_k"].shape[2]
 
+        # word tokens in prefix/pp modes are embedded WITHOUT the semantic
+        # term (the prefix carries it, and it's already prefilled into the
+        # cache); in plain 'emb' GSG mode the per-token add applies
         x = self.embedding(
             token_ids[:, None], category=aux["category"],
             category_embs=aux["category_embs"],
             semantic_hidden_states=(None if prefix_len else
                                     aux["semantic_hidden_states"]),
             position_ids=jnp.full((token_ids.shape[0], 1), position),
-            only_word_and_position=bool(prefix_len and
-                                        "pp" in (opt.get("use_attr_type") or "")),
             deterministic=True)
-        if (prefix_len and aux["semantic_hidden_states"] is not None
-                and "pp" not in (opt.get("use_attr_type") or "")):
-            pass  # 'prefix' mode adds nothing per-token
-        # note: 'emb'-only GSG (no prefix) is already added inside embedding
 
         cache_pos = position + prefix_len
         # bias over the cache: visible = prefix slots + positions <= current

@@ -174,6 +174,26 @@ class Embeddings(nn.Module):
     def embed_tokens(self, input_ids):
         return jnp.take(self.word_embeddings, input_ids, axis=0)
 
+    def embed_pp_prefix(self, semantic_hidden_states, category=None,
+                        category_embs=None):
+        """Embedding of the single GSG prefix token in ``pp_emb`` mode,
+        exactly as the training path produces it (reference
+        ``Embeddings.py:156-168``: no positional term, + category, then the
+        shared LayerNorm; dropout off at decode time). Returns [B, 1, D]."""
+        embeddings = semantic_hidden_states[:, None, :]
+        if self.with_category:
+            if self.use_category_embs:
+                cat = self.category_embeddings(category_embs)
+            else:
+                cat = jnp.take(self.category_table, category.reshape(-1),
+                               axis=0)
+            if cat.ndim == 2:
+                cat = cat[:, None, :]
+            embeddings = embeddings + cat
+        if self.has_ln:
+            embeddings = self.LayerNorm(embeddings)
+        return embeddings
+
     def __call__(self, input_ids, category=None, category_embs=None,
                  additional_feats=None, semantic_hidden_states=None,
                  position_ids=None, only_word_and_position: bool = False,
@@ -187,8 +207,11 @@ class Embeddings(nn.Module):
             embeddings = embeddings + self.position_embeddings(position_ids)
 
         if not only_word_and_position:
-            if self.semantic_flag and self.prefix_flag:
-                assert semantic_hidden_states is not None
+            # semantic branches are conditional on the tensor being supplied:
+            # the KV-cached decode path prefills the prefix separately and
+            # embeds word tokens with semantic_hidden_states=None
+            if (self.semantic_flag and self.prefix_flag
+                    and semantic_hidden_states is not None):
                 embeddings = jnp.concatenate(
                     [semantic_hidden_states[:, None, :], embeddings], axis=1)
 
@@ -205,8 +228,8 @@ class Embeddings(nn.Module):
             if additional_feats is not None:
                 embeddings = embeddings + additional_feats
 
-            if self.semantic_flag and not self.prefix_flag:
-                assert semantic_hidden_states is not None
+            if (self.semantic_flag and not self.prefix_flag
+                    and semantic_hidden_states is not None):
                 embeddings = embeddings + semantic_hidden_states[:, None, :]
 
         if self.has_ln:

@@ -51,6 +51,10 @@ def tiny_model_and_batch(opt, batch_size=2, seed=0):
     input_ids = jnp.asarray(
         rs.randint(6, opt["vocab_size"], (batch_size, seq)), jnp.int32)
     batch = {"feats": feats, "input_ids": input_ids}
+    if opt.get("with_category"):
+        batch["category"] = jnp.asarray(
+            rs.randint(0, opt.get("num_category", 20), (batch_size, 1)),
+            jnp.int32)
     rng = jax.random.PRNGKey(seed)
     variables = model.init({"params": rng, "dropout": rng, "sampling": rng},
                            batch)
