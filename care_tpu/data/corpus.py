@@ -120,7 +120,7 @@ def build_synthetic_corpus(n_videos: int = 40, n_caps_per_video: int = 3,
             tag_ids = [ptoi["DET"]] + [ptoi[t] for t in tagseq] + [ptoi["DET"]]
             caps.append(ids)
             tags.append(tag_ids)
-            L = len(words) + 1          # reference counts words + eos
+            L = len(words)              # reference: len(cap) - 2 (no BOS/EOS)
             if L < max_len:
                 counts[L] += 1
         captions[vid] = caps
