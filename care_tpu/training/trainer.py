@@ -112,7 +112,17 @@ class Trainer:
         self.variables = self.model.init(
             {"params": rng, "dropout": rng, "sampling": rng}, batch,
             deterministic=False)
+        if self.mesh is not None:
+            from care_tpu.parallel import shard_params
+            self.variables = shard_params(self.variables, self.mesh)
         return self.variables
+
+    def _device_batch(self, batch):
+        b = device_batch(batch)
+        if self.mesh is not None:
+            from care_tpu.parallel import shard_batch
+            b = shard_batch(b, self.mesh)
+        return b
 
     def _build_tx(self, steps_per_epoch: int):
         opt = self.opt
@@ -215,7 +225,7 @@ class Trainer:
             t0 = time.time()
             for batch in self.train_loader:
                 rng, step_rng = jax.random.split(rng)
-                b = device_batch(batch)
+                b = self._device_batch(batch)
                 params = self.variables["params"]
                 extra = {k: v for k, v in self.variables.items()
                          if k != "params"}
