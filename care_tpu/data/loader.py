@@ -72,6 +72,48 @@ class Loader:
             yield batch
 
 
+class PrefetchIterator:
+    """Background-thread prefetch: overlaps host-side sample assembly /
+    HDF5 reads / host->device transfer with device compute (replaces the
+    reference's torch DataLoader worker pool, ``dataloader.py:854-861``)."""
+
+    def __init__(self, iterable, prefetch: int = 2, transform=None):
+        import queue
+        import threading
+        self._queue = queue.Queue(maxsize=prefetch)
+        self._sentinel = object()
+        self._error = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    if transform is not None:
+                        item = transform(item)
+                    self._queue.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._error = e
+            finally:
+                self._queue.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._sentinel:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+def prefetch(iterable, n: int = 2, transform=None):
+    return PrefetchIterator(iterable, prefetch=n, transform=transform)
+
+
 def get_loader(opt: dict, mode: str, specific: int = -1,
                batch_size: int = None, not_shuffle: bool = False,
                is_validation: bool = False, all_caps: bool = False,

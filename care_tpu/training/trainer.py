@@ -223,9 +223,12 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             loss_meter = AverageMeter()
             t0 = time.time()
-            for batch in self.train_loader:
+            from care_tpu.data.loader import prefetch
+            batches = prefetch(self.train_loader,
+                               n=opt.get("prefetch_batches", 2),
+                               transform=self._device_batch)
+            for b in batches:
                 rng, step_rng = jax.random.split(rng)
-                b = self._device_batch(batch)
                 params = self.variables["params"]
                 extra = {k: v for k, v in self.variables.items()
                          if k != "params"}
