@@ -162,10 +162,15 @@ def build_synthetic_references(corpus: dict) -> Dict[str, List[dict]]:
 
 
 def write_synthetic_dataset(root: str, opt: dict, n_videos: int = 40,
-                            seed: int = 0):
+                            seed: int = 0, correlated: bool = False):
     """Materialise a synthetic dataset with the reference's on-disk layout:
     ``<root>/<dataset>/info_corpus.pkl``, ``refs.pkl`` and per-modality
-    HDF5 feature files under ``feats/``."""
+    HDF5 feature files under ``feats/``.
+
+    ``correlated=True`` makes features a (noisy) linear function of the
+    video's caption content words, so captions are learnable from features
+    — used by the end-to-end learning tests.
+    """
     import h5py
 
     dataset_dir = os.path.join(root, opt["dataset"])
@@ -182,6 +187,7 @@ def write_synthetic_dataset(root: str, opt: dict, n_videos: int = 40,
     with open(os.path.join(dataset_dir, "refs.pkl"), "wb") as f:
         pickle.dump(refs, f)
 
+    vocab_size = len(corpus["info"]["itow"])
     rng = np.random.RandomState(seed + 1)
     n_total = opt.get("n_total_frames", constants.N_TOTAL_FRAMES)
     paths = {}
@@ -189,11 +195,18 @@ def write_synthetic_dataset(root: str, opt: dict, n_videos: int = 40,
         if char in ("t",):
             continue
         dim = opt[f"dim_{char}"]
+        word_codes = rng.randn(vocab_size, dim).astype(np.float32)
         p = os.path.join(feats_dir, f"synthetic_{char}.hdf5")
         with h5py.File(p, "w") as hf:
             for v in range(n_videos):
-                hf.create_dataset(
-                    "video%d" % v,
-                    data=rng.randn(n_total, dim).astype(np.float32))
+                if correlated:
+                    wids = sorted({w for cap in corpus["captions"]
+                                   ["video%d" % v] for w in cap[1:-1]})
+                    base = word_codes[wids].sum(axis=0, keepdims=True)
+                    data = (base + 0.1 * rng.randn(n_total, dim)
+                            ).astype(np.float32)
+                else:
+                    data = rng.randn(n_total, dim).astype(np.float32)
+                hf.create_dataset("video%d" % v, data=data)
         paths[char] = p
     return dataset_dir, paths, corpus, refs
