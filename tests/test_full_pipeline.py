@@ -33,8 +33,10 @@ def test_arb_teacher_then_nacf_student(tmp_path):
 
     # 2) NACF student: load teacher weights (same vocab -> no remap), then
     #    decode with teacher rescoring
+    # separate directory (same generator/seed -> identical corpus) so the
+    # teacher's lazily-opened HDF5 handles aren't truncated
     opt_s, _, _ = make_synthetic_env(
-        tmp_path, method="NACF",
+        tmp_path / "student", method="NACF",
         extra={"final_overrides": {"teacher_path": teacher_ckpt,
                                    "masking_decision": True}})
     opt_s["checkpoint_path"] = os.path.join(str(tmp_path), "exps", "NACF")
