@@ -449,24 +449,38 @@ def _rnn_uniform_init(features):
     return init
 
 
-def _rnn_dense(features_out, cell_features, name):
+def _rnn_dense(features_out, cell_features, name, forget_offset=0.0):
     init = _rnn_uniform_init(cell_features)
+    if forget_offset:
+        base = init
+        h = cell_features
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            b = base(key, shape, dtype)
+            return b.at[h:2 * h].add(forget_offset)
+        return nn.Dense(features_out, kernel_init=init, bias_init=bias_init,
+                        name=name)
     return nn.Dense(features_out, kernel_init=init, bias_init=init, name=name)
 
 
 class LSTMCellTorch(nn.Module):
-    """LSTM cell matching torch.nn.LSTMCell semantics: uniform init,
-    forget-gate bias +1 (reference ``_init_lstm_forget_bias``)."""
+    """LSTM cell matching torch.nn.LSTMCell semantics (uniform init, gate
+    order i,f,g,o). The reference adds +1.0 to the forget chunk of BOTH
+    bias_ih and bias_hh post-init (``_init_lstm_forget_bias``), so the
+    offset is baked into both bias initialisers here — the cell body stays
+    pure, which also makes torch-weight transplantation exact."""
     features: int
 
     @nn.compact
     def __call__(self, carry, inputs):
         h, c = carry
-        gates = (_rnn_dense(4 * self.features, self.features, "ih")(inputs)
-                 + _rnn_dense(4 * self.features, self.features, "hh")(h))
+        gates = (_rnn_dense(4 * self.features, self.features, "ih",
+                            forget_offset=1.0)(inputs)
+                 + _rnn_dense(4 * self.features, self.features, "hh",
+                              forget_offset=1.0)(h))
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = nn.sigmoid(i)
-        f = nn.sigmoid(f + 1.0)  # forget bias init = 1.0
+        f = nn.sigmoid(f)
         g = nn.tanh(g)
         o = nn.sigmoid(o)
         new_c = f * c + i * g
