@@ -13,6 +13,7 @@ torch.optim.Adam's ``weight_decay`` is L2-on-gradient (not AdamW), i.e.
 
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 from flax import traverse_util
@@ -93,9 +94,25 @@ def _decay_mask(params, filter_biases: bool):
     return traverse_util.unflatten_dict(mask)
 
 
+def freeze_mask(params, opt: dict):
+    """True = trainable. ``freeze_parameters_except`` freezes everything
+    whose path contains none of the given substrings (reference
+    ``opts.py:62`` + ``train.py`` weight-freezing flow)."""
+    keep = opt.get("freeze_parameters_except") or []
+    if not keep:
+        return None
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: any(s in "/".join(map(str, k)) for s in keep) for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
 def make_adam(opt: dict, schedule: Callable, params) -> optax.GradientTransformation:
     wd = opt.get("weight_decay", 0.001)
     chain = []
+    fmask = freeze_mask(params, opt)
+    if fmask is not None:
+        frozen = jax.tree.map(lambda t: not t, fmask)
+        chain.append(optax.masked(optax.set_to_zero(), frozen))
     if opt.get("gradient_clip_val", 0.0):
         chain.append(optax.clip_by_global_norm(opt["gradient_clip_val"]))
     if wd:

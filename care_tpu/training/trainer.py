@@ -222,6 +222,8 @@ class Trainer:
             ss_prob = schedule_sampling_prob(opt, epoch)
             self.train_loader.set_epoch(epoch)
             loss_meter = AverageMeter()
+            per_loss = MetricTracker()
+            metric_tracker = MetricTracker()
             t0 = time.time()
             from care_tpu.data.loader import prefetch
             batches = prefetch(self.train_loader,
@@ -237,11 +239,28 @@ class Trainer:
                     params, extra, self.opt_state, b, step_rng, ss_prob)
                 self.variables = {"params": params, **extra, **mutated}
                 loss_meter.update(float(loss))
+                per_loss.update({k: float(v) for k, v in losses.items()})
+                per_loss.update({"_n": 1.0})
+                metric_tracker.update({k: float(v)
+                                       for k, v in metrics.items()})
                 self.global_step += 1
 
             epoch_time = time.time() - t0
             log = {"train_loss": loss_meter.avg, "epoch_time": epoch_time,
                    "schedule_sampling_prob": ss_prob}
+            n_steps = max(per_loss.sums.get("_n", 1.0), 1.0)
+            for k, v in per_loss.sums.items():
+                if k != "_n":
+                    log[k] = v / n_steps
+            # criterion recorders (reference training_epoch_end info):
+            # word accuracy + perplexity from the lang crit
+            if metric_tracker.sums.get("word_acc_den0"):
+                log["Word Acc0"] = metric_tracker.ratio("word_acc_num0",
+                                                        "word_acc_den0")
+            if metric_tracker.sums.get("xent_count"):
+                import math
+                log["Perplexity"] = math.exp(
+                    metric_tracker.ratio("xent_sum", "xent_count"))
             if self.tb:
                 for k, v in log.items():
                     self.tb.add_scalar(k, v, epoch)
