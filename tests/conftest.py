@@ -23,6 +23,11 @@ except Exception:
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption("--regen-golden", action="store_true", default=False,
+                     help="regenerate golden decode fixtures")
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
