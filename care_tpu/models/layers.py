@@ -356,6 +356,11 @@ class DecoderLayer(nn.Module):
             dim_key = dim_value = opt["dim_hidden"]
 
         hybrid_length = compute_hybrid_length(opt)
+        # pallas flash attention pays off once the key axis is long (e.g.
+        # SwinBERT dense patches, Lk≈1600); for the usual ~100-key streams
+        # the fused XLA path wins
+        upa = opt.get("use_pallas_attention", "auto")
+        use_flash = (upa is True) or (upa == "auto" and hybrid_length >= 512)
         parallel = self.attr_layer_pos == "parallel"
         self.inter_attention = MultiHeadAttention(
             **common, **comp,
@@ -368,7 +373,7 @@ class DecoderLayer(nn.Module):
             add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias", False),
             hybrid_length=hybrid_length,
             compositional=opt.get("compositional_inter", False),
-            use_flash=(opt.get("use_pallas_attention", "auto") is True),
+            use_flash=use_flash,
             name="inter_attention")
 
         self.has_attr_attention = (opt.get("use_attr", False)

@@ -34,12 +34,11 @@ def dot_product_attention(
     position bias, hybrid attention bias), matching the reference ordering of
     mask-then-bias.
     """
-    if use_flash and not use_sigmoid and (deterministic or dropout_rate == 0.0):
+    if (use_flash and not use_sigmoid and not return_probs
+            and (deterministic or dropout_rate == 0.0)):
         try:
             from care_tpu.ops.pallas.flash_attention import flash_attention
-            ctx = flash_attention(query, key, value, bias=bias)
-            if not return_probs:
-                return ctx, None
+            return flash_attention(query, key, value, bias=bias), None
         except Exception:
             pass  # fall through to the XLA path
 

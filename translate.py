@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--latency", action="store_true")
     p.add_argument("--loop_n_frames", nargs="+", type=int, default=[])
+    p.add_argument("--loop_category", action="store_true",
+                   help="evaluate each MSRVTT category subset separately "
+                        "(reference translate.py loop_category)")
+    p.add_argument("--specific", type=int, default=-1,
+                   help="restrict evaluation to one category id")
     p.add_argument("--json_path", type=str, default="")
     p.add_argument("--json_name", type=str, default="preds.json")
     p.add_argument("--save_detail_scores_path", type=str, default="")
@@ -91,16 +96,22 @@ def main():
 
     batch_size = 1 if args.latency else args.batch_size
     n_frames_list = args.loop_n_frames or [opt["n_frames"]]
+    if args.loop_category:
+        categories = list(range(opt.get("num_category", 20)))
+    else:
+        categories = [args.specific]
 
     for n_frames in n_frames_list:
+      for specific in categories:
         opt["n_frames"] = n_frames
         loader = get_loader(opt, args.mode, not_shuffle=True,
                             is_validation=(args.mode == "validate"),
-                            batch_size=batch_size)
+                            batch_size=batch_size, specific=specific)
         scores, detail, preds, total, n = run_eval(
             models, opt, loader, references, vocab, latency=args.latency)
-        print(f"n_frames={n_frames}:",
-              {k: round(v, 4) for k, v in scores.items()})
+        tag = f"n_frames={n_frames}" + (
+            f" category={specific}" if specific != -1 else "")
+        print(f"{tag}:", {k: round(v, 4) for k, v in scores.items()})
 
         if args.latency:
             avg = total / max(n, 1)
