@@ -67,7 +67,18 @@ class TranslatorARFormer(Translator):
         topk, alpha = self.topk, self.beam_alpha
         vocab = opt["vocab_size"]
 
+        compute_dtype = opt.get("compute_dtype_decode", None)
+
         def run(all_variables, feats, batch_aux):
+            if compute_dtype is not None:
+                # half-precision decode: params + activations in bf16, beam
+                # scores and softmax stay f32 (cast at the logits boundary)
+                cast = lambda x: (x.astype(compute_dtype)
+                                  if hasattr(x, "dtype")
+                                  and jnp.issubdtype(x.dtype, jnp.floating)
+                                  else x)
+                all_variables = jax.tree.map(cast, all_variables)
+                feats = jax.tree.map(cast, feats)
             # feats: list of arrays shared by all models, OR (heterogeneous
             # ensembles) a list with one feats-list per model (reference
             # ModelEnsemble.preprocess_batch_before_translate_step)
@@ -127,11 +138,13 @@ class TranslatorARFormer(Translator):
                         logits, new_carry = model.apply(
                             variables, tokens, carry, inputs,
                             method=Captioner.rnn_decode_step)
-                        logps.append(jax.nn.log_softmax(logits, axis=-1))
+                        logps.append(jax.nn.log_softmax(
+                            logits.astype(jnp.float32), axis=-1))
                     else:
                         out, new_carry, is_prob = model.apply(
                             variables, tokens, position, carry, inputs,
                             method=Captioner.decode_step)
+                        out = out.astype(jnp.float32)
                         logps.append(out if is_prob
                                      else jax.nn.log_softmax(out, axis=-1))
                     new_carries.append(new_carry)

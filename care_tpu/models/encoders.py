@@ -291,6 +291,24 @@ class VOE(nn.Module):
                 "mean_encoder_hidden_states": [rnn_outputs.mean(axis=1)]}
 
 
+class SingleStreamEmbedder(nn.Module):
+    """Channel-concat all modalities, then one Linear+LN+Dropout encoder
+    (reference ``SingleStream``/``SingleStreamEmbedder``,
+    ``Encoder.py:29-48,159-162``)."""
+    opt: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, input_feats, deterministic: bool = True):
+        opt = self.opt
+        x = jnp.concatenate(input_feats, axis=-1)
+        x = _LinearLNDrop(opt.get("dim_hidden", 512),
+                          opt.get("encoder_dropout_prob", 0.5),
+                          opt["layer_norm_eps"], name="encoder")(
+            x, deterministic=deterministic)
+        return {"encoder_hidden_states": x,
+                "mean_encoder_hidden_states": [x.mean(axis=1)]}
+
+
 _STREAM_KINDS = {
     "Embedder": "embedder",
     "ReLUEmbedder": "relu",
@@ -298,7 +316,6 @@ _STREAM_KINDS = {
     "EncoderWithHighWayBN": "highwaybn",
     "MultiTransformerEncoder": "multitransformer",
     "TransformerEncoder": "transformer",
-    "SingleStreamEmbedder": "embedder",
 }
 
 
@@ -306,6 +323,8 @@ def get_encoder(opt: dict) -> nn.Module:
     name = opt["encoder"]
     if name == "VOE":
         return VOE(opt, name="encoder")
+    if name == "SingleStreamEmbedder":
+        return SingleStreamEmbedder(opt, name="encoder")
     if name not in _STREAM_KINDS:
         raise ValueError(f"unknown encoder `{name}`")
     return MultipleStreams(opt, _STREAM_KINDS[name], name="encoder")

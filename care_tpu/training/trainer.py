@@ -324,10 +324,10 @@ class Trainer:
         hyps, scores = self.translator.translate_batch(
             [(self.model, self.variables)], b, **kwargs)
         preds = {}
+        mask = batch.get("batch_mask")
         for i, vid in enumerate(batch["video_ids"]):
-            if not bool(batch.get("batch_mask", np.ones(1))[i] if
-                        "batch_mask" in batch else True):
-                continue
+            if mask is not None and not bool(mask[i]):
+                continue  # padded duplicate row (pad_to_batch loaders)
             entries = []
             hyps_i = hyps[i] if isinstance(hyps[i][0], list) else [hyps[i]]
             for k, hyp in enumerate(hyps_i):

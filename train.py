@@ -58,12 +58,18 @@ def run(opt):
     references = load_references(opt["reference"])
     vocab = info_corpus["info"]["itow"]
 
+    # eval loaders pad partial batches to one compiled shape (batch_mask
+    # marks real rows and translate_step drops padded ones); the train
+    # loader stays exact so the loss weighs every sample once — its final
+    # partial batch costs at most one extra compile
     train_loader = get_loader(opt, "train")
     val_loader = get_loader(opt, "validate", is_validation=True,
                             not_shuffle=True,
-                            batch_size=opt.get("eval_batch_size", 128))
+                            batch_size=opt.get("eval_batch_size", 128),
+                            pad_to_batch=True)
     test_loader = get_loader(opt, "test", not_shuffle=True,
-                             batch_size=opt.get("eval_batch_size", 128))
+                             batch_size=opt.get("eval_batch_size", 128),
+                             pad_to_batch=True)
 
     trainer_cls = Trainer
     if opt.get("wrapper") == "InterplayModel":
