@@ -100,6 +100,7 @@ class Trainer:
         self.global_step = 0
         self.best_scores: Dict[str, float] = {}
         self._train_step_fn = None
+        self._eval_metrics_fn = None
         self._needs_aux = any(
             f != "V" for f in (opt.get("attribute_prediction_flags") or "V")
         ) and "attribute" in opt["crits"]
@@ -339,16 +340,49 @@ class Trainer:
             preds[vid] = entries
         return preds
 
+    def _make_eval_metrics_fn(self):
+        """Jitted feedforward + eval-criterion metrics (concept F1@k / mAP,
+        reference ``validation_step``'s eval_criterion pass)."""
+        model = self.model
+        criterion = self.eval_criterion
+
+        def fn(variables, batch):
+            outputs = model.apply(variables, batch, deterministic=True,
+                                  collect_aux=self._needs_aux)
+
+            def project_fn(feats, flag):
+                return model.apply(variables, feats, flag,
+                                   method=Captioner.project_attribute)
+            _, _, metrics = criterion({**outputs, **batch}, project_fn)
+            return metrics
+
+        return jax.jit(fn)
+
     def validate(self, epoch: int = 0, loader=None, references=None,
                  log_prefix: str = "") -> Dict[str, float]:
         loader = loader or self.val_loader
         references = references or self.references
         preds = {}
+        run_concept_metrics = ("attribute" in self.eval_criterion.crits
+                               and self.variables is not None)
+        if run_concept_metrics and self._eval_metrics_fn is None:
+            self._eval_metrics_fn = self._make_eval_metrics_fn()
+        tracker = MetricTracker()
         for batch in loader:
             preds.update(self.translate_step(batch))
+            if run_concept_metrics and "labels_attr" in batch:
+                m = self._eval_metrics_fn(self.variables,
+                                          device_batch(batch))
+                tracker.update({k: float(v) for k, v in m.items()})
 
         scorer = COCOScorer()
         scores, _ = scorer.score(references, preds, list(preds.keys()))
+        for topk in (5, 10, 20, 30, 40, 50):
+            if tracker.sums.get(f"V_f1_{topk}_count"):
+                scores[f"F1-{topk:02d}"] = tracker.ratio(
+                    f"V_f1_{topk}_sum", f"V_f1_{topk}_count")
+        if tracker.sums.get("V_ap_count"):
+            scores["mAP"] = tracker.ratio("V_ap_sum", "V_ap_count")
         candidate = [scores["Bleu_4"], scores["METEOR"], scores["ROUGE_L"],
                      scores["CIDEr"]]
         scores["Sum"] = sum(s for s, flag in
