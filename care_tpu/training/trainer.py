@@ -448,6 +448,21 @@ class Trainer:
             path = save_csv_path or self.opt["checkpoint_path"]
             save_dict_to_csv(path, self.opt.get("csv_name",
                                                 "test_result.csv"), scores)
+
+        # prediction/detail dumps (reference ``Wrapper.py:136-140`` +
+        # ``translate.py:78-81``)
+        import json
+        if self.opt.get("json_path", ""):
+            os.makedirs(self.opt["json_path"], exist_ok=True)
+            with open(os.path.join(self.opt["json_path"],
+                                   self.opt.get("json_name", "preds.json")),
+                      "w") as f:
+                json.dump(preds, f)
+        if self.opt.get("save_detail_scores_path", ""):
+            p = self.opt["save_detail_scores_path"]
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+            with open(p, "w") as f:
+                json.dump(detail, f)
         return scores
 
     def load_best(self):
