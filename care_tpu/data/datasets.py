@@ -169,6 +169,7 @@ class TextOnlyDataset:
         data = load_info_corpus(opt["info_corpus"])
         self.captions = data["captions"]
         self.pos_tags = data.get("pos_tags")
+        self.clip_scores = data.get("clip_scores")
         info = data["info"]
         self.itow = info["itow"]
         self.wtoi = {w: i for i, w in self.itow.items()}
@@ -232,12 +233,18 @@ class TextOnlyDataset:
                                                 replace=False)
 
             for cap_id in cap_id_set:
-                infoset.append({
+                item = {
                     "vid": vid, "labels": captions[cap_id],
                     "pos_tags": pos_tags[cap_id], "category": category,
                     "category_embs": category_embs,
                     "length_target": length_target, "cap_id": cap_id,
-                })
+                }
+                # distilled corpora may carry per-(caption, frame) CLIP
+                # scores (reference ``dataloader.py:791-801``)
+                if (self.clip_scores is not None
+                        and vid in self.clip_scores):
+                    item["clip_scores"] = self.clip_scores[vid][cap_id]
+                infoset.append(item)
         return infoset
 
     def get_text_sample(self, index) -> Dict[str, Any]:
@@ -331,6 +338,17 @@ class JointDataset(VideoOnlyDataset, TextOnlyDataset):
             one_hot = np.zeros(self.opt.get("num_category", 20), np.float32)
             one_hot[self.infoset[index]["category"]] = 1
             data["category"] = one_hot
+
+        if "clip_scores" in self.infoset[index]:
+            # slice the dense (caption-token x frame) CLIP scores to the
+            # sampled frames (reference ``dataloader.py:791-801``)
+            if self.opt["load_feats_type"] == 0:
+                frame_ids = data["frame_ids"]
+            else:
+                frame_ids = list(range(self.opt["n_frames"]))
+            cs = np.asarray(self.infoset[index]["clip_scores"])
+            data["clip_scores"] = cs[:self.opt["max_len"] - 1,
+                                     frame_ids].astype(np.float32)
         return data
 
     def get_specific_data_by_vid_and_cap_id(self, vid, cap_id=None,
