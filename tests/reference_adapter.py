@@ -175,6 +175,30 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
     return p
 
 
+def transplant_highwaybn_encoder(state_dict, flax_variables, opt):
+    """Map the ARB/NAB EncoderWithHighWayBN streams (Linear + HighWay +
+    BatchNorm1d + Dropout) into params + batch_stats."""
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in state_dict.items()}
+    p = flax_variables["params"]
+    bs = flax_variables["batch_stats"]
+    for char in opt["modality"]:
+        C = char.upper()
+        base_t = f"encoder.Encoder_{C}"
+        base_o = f"encoder/Encoder_{C}"
+        _set(p, f"{base_o}/linear/kernel", sd[f"{base_t}.0.weight"].T)
+        _set(p, f"{base_o}/linear/bias", sd[f"{base_t}.0.bias"])
+        _set(p, f"{base_o}/highway/w1/kernel", sd[f"{base_t}.1.w1.weight"].T)
+        _set(p, f"{base_o}/highway/w1/bias", sd[f"{base_t}.1.w1.bias"])
+        _set(p, f"{base_o}/highway/w2/kernel", sd[f"{base_t}.1.w2.weight"].T)
+        _set(p, f"{base_o}/highway/w2/bias", sd[f"{base_t}.1.w2.bias"])
+        _set(p, f"{base_o}/bn/bn/scale", sd[f"{base_t}.2.bn.weight"])
+        _set(p, f"{base_o}/bn/bn/bias", sd[f"{base_t}.2.bn.bias"])
+        _set(bs, f"{base_o}/bn/bn/mean", sd[f"{base_t}.2.bn.running_mean"])
+        _set(bs, f"{base_o}/bn/bn/var", sd[f"{base_t}.2.bn.running_var"])
+    return {"params": p, "batch_stats": bs}
+
+
 def _transplant_concept_stack(sd, p, opt):
     # optional concept stack (CARE)
     if opt.get("attribute_prediction"):

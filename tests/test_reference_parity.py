@@ -111,6 +111,57 @@ def test_logits_match_reference_torch_model(care):
                                    ref_out["semantic_labels"].numpy())
 
 
+def test_nab_nar_logits_match_reference():
+    """NAB: HighWayBN encoder (BatchNorm running stats) + NAR decoder
+    (no causal mask, mean-pool input enhancement)."""
+    torch = pytest.importorskip("torch")
+    from reference_adapter import (transplant_highwaybn_encoder,
+                                   transplant_transformer_weights)
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "EncoderWithHighWayBN",
+                    "decoding_type": "NARFormer", "enhance_input": 2})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()   # BN uses running stats; dropout off
+
+    B = 3
+    rs = np.random.RandomState(5)
+    feats_np = [rs.randn(B, 8, 24).astype(np.float32),
+                rs.randn(B, 8, 16).astype(np.float32)]
+    # NAR canvas: MASK tokens with PAD tail
+    canvas = np.full((B, 11), 4, dtype=np.int64)
+    canvas[:, 8:] = 0
+
+    with torch.no_grad():
+        ref_out = ref_model({"feats": [torch.from_numpy(f)
+                                       for f in feats_np],
+                             "input_ids": torch.from_numpy(canvas)})
+    ref_logits = ref_out["logits"].numpy()
+
+    import jax
+    import jax.numpy as jnp
+    from care_tpu.models import build_captioner
+
+    opt = _our_opt(ref_opt)
+    model = build_captioner(opt)
+    batch = {"feats": [jnp.asarray(f) for f in feats_np],
+             "input_ids": jnp.asarray(canvas.astype(np.int32))}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch,
+                           deterministic=True)
+    variables = jax.tree.map(np.asarray, variables)
+    variables = transplant_highwaybn_encoder(ref_model.state_dict(),
+                                             variables, ref_opt)
+    variables["params"] = transplant_transformer_weights(
+        ref_model.state_dict(), variables["params"],
+        {**ref_opt, "modality": ""})  # encoder handled above
+    out = model.apply(variables, batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               atol=3e-4, rtol=1e-4)
+
+
 def test_salstm_logits_match_reference():
     torch = pytest.importorskip("torch")
     from reference_adapter import transplant_salstm_weights
