@@ -85,12 +85,19 @@ class PlateauController:
         return max(base_lr * self.scale, self.min_lr)
 
 
-def _decay_mask(params, filter_biases: bool):
-    """True = apply weight decay. Mirrors ``add_weight_decay``: 1-D params
-    (biases, LN gains) are excluded when filtering."""
+def _decay_mask(params, filter_biases: bool, skip_substr_list=()):
+    """True = apply weight decay. Mirrors ``add_weight_decay`` /
+    ``filter_weight_decay`` (reference ``misc/utils.py:282-304``): 1-D
+    params (biases, LN gains) are excluded when filtering, as are params
+    whose path contains any listed substring."""
     flat = traverse_util.flatten_dict(params)
-    mask = {k: (v.ndim > 1 if filter_biases else True)
-            for k, v in flat.items()}
+    mask = {}
+    for k, v in flat.items():
+        keep = v.ndim > 1 if filter_biases else True
+        path = "/".join(str(p) for p in k)
+        if any(s in path for s in skip_substr_list):
+            keep = False
+        mask[k] = keep
     return traverse_util.unflatten_dict(mask)
 
 
@@ -119,7 +126,8 @@ def make_adam(opt: dict, schedule: Callable, params) -> optax.GradientTransforma
         if opt.get("filter_weight_decay", False):
             chain.append(optax.masked(
                 optax.add_decayed_weights(wd),
-                _decay_mask(params, opt.get("filter_biases", False))))
+                _decay_mask(params, opt.get("filter_biases", False),
+                            opt.get("skip_substr_list", []))))
         else:
             chain.append(optax.add_decayed_weights(wd))
     chain.append(optax.scale_by_adam())

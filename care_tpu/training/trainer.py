@@ -194,7 +194,8 @@ class Trainer:
             new_params = jax.tree.map(lambda p, u: p + u, params, updates)
             return new_params, mutated, new_opt_state, loss, losses, metrics
 
-        return jax.jit(train_step)
+        # donate params + opt_state: the updated copies reuse their buffers
+        return jax.jit(train_step, donate_argnums=(0, 2))
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None):
