@@ -50,6 +50,7 @@ _DEFAULTS = {
     "use_category_embs": False,
     "dim_category": 300,
     "pretrained_embs_path": "",
+    "train_emb": False,
     "load_model_weights_from": "",
     "load_strictly": False,
     "freeze_parameters_except": [],

@@ -505,6 +505,19 @@ class GRUCellTorch(nn.Module):
         return new_h, new_h
 
 
+def _word_embedding_init(opt):
+    """Word-embedding initializer: frozen pretrained table when
+    ``pretrained_embs_path`` is set (reference ``RNN_single_layer.py:58-69``),
+    xavier with zeroed PAD row otherwise."""
+    if opt.get("pretrained_embs_path", ""):
+        import numpy as np
+        table = np.load(opt["pretrained_embs_path"]).astype(np.float32)
+        assert table.shape == (opt["vocab_size"], opt["dim_hidden"]), \
+            table.shape
+        return lambda key, shape: jnp.asarray(table)
+    return lambda key, shape: xavier()(key, shape).at[constants.PAD].set(0.0)
+
+
 def _mean_video_features(encoder_hidden_states):
     if not isinstance(encoder_hidden_states, (list, tuple)):
         encoder_hidden_states = [encoder_hidden_states]
@@ -520,8 +533,7 @@ class SingleLayerRNNDecoder(nn.Module):
     def setup(self):
         opt = self.opt
         self.word_embeddings = self.param(
-            "word_embeddings",
-            lambda key, shape: xavier()(key, shape).at[constants.PAD].set(0.0),
+            "word_embeddings", _word_embedding_init(opt),
             (opt["vocab_size"], opt["dim_hidden"]))
         self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
 
@@ -546,7 +558,21 @@ class SingleLayerRNNDecoder(nn.Module):
 
         hybrid_length = (opt["n_frames"] * self.num_modality
                          + opt.get("use_attr_topk", 30))
-        if opt.get("with_multileval_attention", False):
+        self.mha_flag = opt.get("rnn_use_mha", False)
+        if self.mha_flag:
+            from care_tpu.models.layers import MultiHeadAttention
+            self.att = MultiHeadAttention(
+                dim_hidden=opt["dim_hidden"],
+                num_attention_heads=opt["num_attention_heads"],
+                attention_probs_dropout_prob=opt["attention_probs_dropout_prob"],
+                hidden_dropout_prob=opt["hidden_dropout_prob"],
+                layer_norm_eps=opt["layer_norm_eps"],
+                attend_to_video=True,
+                add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias",
+                                                  False),
+                hybrid_length=hybrid_length,
+                name="att")
+        elif opt.get("with_multileval_attention", False):
             self.att = MultiLevelAttention(
                 opt["dim_hidden"], opt["dim_hidden"],
                 num_feats=self.num_att_modality,
@@ -593,7 +619,17 @@ class SingleLayerRNNDecoder(nn.Module):
             rnn_state = self.init_rnn_state(encoder_hidden_states)
 
         h_query = self._get_h(rnn_state)
-        context, attention_probs = self.att(h_query, encoder_hidden_states)
+        if self.mha_flag:
+            # reference RNN_single_layer.py:298-306: MHA over the fused
+            # encoder states with h(t-1) as the query
+            context, attention_probs, _ = self.att(
+                h_query[:, None, :],
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=None, deterministic=deterministic)
+            context = context[:, 0, :]
+        else:
+            context, attention_probs = self.att(h_query,
+                                                encoder_hidden_states)
 
         word = jnp.take(self.word_embeddings, it, axis=0)
         if self.semantic_global_flag:
@@ -671,8 +707,7 @@ class TopDownAttentionRNNDecoder(nn.Module):
     def setup(self):
         opt = self.opt
         self.word_embeddings = self.param(
-            "word_embeddings",
-            lambda key, shape: xavier()(key, shape).at[constants.PAD].set(0.0),
+            "word_embeddings", _word_embedding_init(opt),
             (opt["vocab_size"], opt["dim_hidden"]))
         self.LayerNorm = nn.LayerNorm(epsilon=opt.get("layer_norm_eps", 1e-12))
         self.rnn_type = opt.get("rnn_type", "lstm").lower()
@@ -692,12 +727,27 @@ class TopDownAttentionRNNDecoder(nn.Module):
                                     and "att" in (opt.get("use_attr_type") or ""))
         hybrid_length = (opt["n_frames"] * self.num_modality
                          + opt.get("use_attr_topk", 30))
-        self.att = AdditiveAttention(
-            opt["dim_hidden"], opt["dim_hidden"],
-            num_feats=self.num_att_modality,
-            feats_share_weights=opt.get("feats_share_weights", False),
-            add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias", False),
-            hybrid_length=hybrid_length, name="att")
+        self.mha_flag = opt.get("rnn_use_mha", False)
+        if self.mha_flag:
+            from care_tpu.models.layers import MultiHeadAttention
+            self.att = MultiHeadAttention(
+                dim_hidden=opt["dim_hidden"],
+                num_attention_heads=opt["num_attention_heads"],
+                attention_probs_dropout_prob=opt["attention_probs_dropout_prob"],
+                hidden_dropout_prob=opt["hidden_dropout_prob"],
+                layer_norm_eps=opt["layer_norm_eps"],
+                attend_to_video=True,
+                add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias",
+                                                  False),
+                hybrid_length=hybrid_length, name="att")
+        else:
+            self.att = AdditiveAttention(
+                opt["dim_hidden"], opt["dim_hidden"],
+                num_feats=self.num_att_modality,
+                feats_share_weights=opt.get("feats_share_weights", False),
+                add_hybrid_attention_bias=opt.get("add_hybrid_attention_bias",
+                                                  False),
+                hybrid_length=hybrid_length, name="att")
         if self.semantic_local_flag:
             self.semantic_att = AdditiveAttention(
                 opt["dim_hidden"], opt["dim_hidden"], name="semantic_att")
@@ -740,7 +790,15 @@ class TopDownAttentionRNNDecoder(nn.Module):
         bottom_state, _ = self.bottom_rnn(bottom_state, bottom_x)
 
         h_bottom = self._get_h(bottom_state)
-        context, attention_probs = self.att(h_bottom, encoder_hidden_states)
+        if self.mha_flag:
+            context, attention_probs, _ = self.att(
+                h_bottom[:, None, :],
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=None, deterministic=deterministic)
+            context = context[:, 0, :]
+        else:
+            context, attention_probs = self.att(h_bottom,
+                                                encoder_hidden_states)
         top_inputs = [h_bottom, context]
         outputs = {"context": context, "attention_probs": attention_probs}
         if self.semantic_local_flag:

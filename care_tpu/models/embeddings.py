@@ -139,9 +139,23 @@ class Embeddings(nn.Module):
 
     def setup(self):
         opt = self.opt
-        self.word_embeddings = self.param(
-            "word_embeddings", embedding_init_with_zero_pad,
-            (opt["vocab_size"], opt["dim_hidden"]))
+        if opt.get("pretrained_embs_path", ""):
+            # frozen pretrained word embeddings (+ projection when the
+            # embedding width differs), reference ``Embeddings.py:96-104``.
+            # Freezing is enforced by the optimizer mask on
+            # `frozen_param_substrings` (set in pretrained_embedding_setup).
+            table = np.load(opt["pretrained_embs_path"]).astype(np.float32)
+            assert table.shape[0] == opt["vocab_size"], table.shape
+            self.word_embeddings = self.param(
+                "word_embeddings", lambda key, shape: jnp.asarray(table),
+                table.shape)
+            if table.shape[1] != opt["dim_hidden"]:
+                self.w2h = Dense(opt["dim_hidden"], use_bias=False,
+                                 name="w2h")
+        else:
+            self.word_embeddings = self.param(
+                "word_embeddings", embedding_init_with_zero_pad,
+                (opt["vocab_size"], opt["dim_hidden"]))
 
         use_attr_type = opt.get("use_attr_type", "") or ""
         self.semantic_flag = "emb" in use_attr_type
@@ -172,7 +186,10 @@ class Embeddings(nn.Module):
         self.dropout = nn.Dropout(opt["hidden_dropout_prob"])
 
     def embed_tokens(self, input_ids):
-        return jnp.take(self.word_embeddings, input_ids, axis=0)
+        embs = jnp.take(self.word_embeddings, input_ids, axis=0)
+        if hasattr(self, "w2h"):
+            embs = self.w2h(embs)
+        return embs
 
     def embed_pp_prefix(self, semantic_hidden_states, category=None,
                         category_embs=None):

@@ -104,12 +104,27 @@ def _decay_mask(params, filter_biases: bool, skip_substr_list=()):
 def freeze_mask(params, opt: dict):
     """True = trainable. ``freeze_parameters_except`` freezes everything
     whose path contains none of the given substrings (reference
-    ``opts.py:62`` + ``train.py`` weight-freezing flow)."""
+    ``opts.py:62`` + ``train.py`` weight-freezing flow); frozen pretrained
+    word embeddings (reference ``Embeddings.py:96-100``) freeze their own
+    table unless ``train_emb``."""
     keep = opt.get("freeze_parameters_except") or []
-    if not keep:
+    frozen_substr = []
+    if opt.get("pretrained_embs_path", "") and not opt.get("train_emb",
+                                                           False):
+        # the caption word-embedding tables only (NOT the concept-slot
+        # embeddings inside the SemanticContainer)
+        frozen_substr += ["embedding/word_embeddings",
+                          "decoder/word_embeddings"]
+    if not keep and not frozen_substr:
         return None
     flat = traverse_util.flatten_dict(params)
-    mask = {k: any(s in "/".join(map(str, k)) for s in keep) for k in flat}
+    mask = {}
+    for k in flat:
+        path = "/".join(map(str, k))
+        trainable = any(s in path for s in keep) if keep else True
+        if any(s in path for s in frozen_substr):
+            trainable = False
+        mask[k] = trainable
     return traverse_util.unflatten_dict(mask)
 
 
