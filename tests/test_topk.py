@@ -1,0 +1,40 @@
+"""hierarchical_top_k: exactness vs lax.top_k across shapes and ties."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from care_tpu.ops.topk import hierarchical_top_k
+
+
+@pytest.mark.parametrize("v,k,chunk", [
+    (55000, 5, 1024),   # beam*vocab shape
+    (4096, 5, 1024),
+    (1000, 3, 128),     # V not a chunk multiple
+    (100, 5, 1024),     # small V -> falls back to lax.top_k
+    (2048, 1, 512),
+])
+def test_matches_lax_topk(v, k, chunk):
+    x = jnp.asarray(np.random.RandomState(0).randn(7, v), jnp.float32)
+    vw, iw = jax.lax.top_k(x, k)
+    vh, ih = hierarchical_top_k(x, k, chunk_size=chunk)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
+
+
+def test_ties_take_lowest_index():
+    x = jnp.zeros((2, 4096), jnp.float32).at[:, 100].set(1.0)
+    v, i = hierarchical_top_k(x, 3, chunk_size=512)
+    assert int(i[0, 0]) == 100
+    # remaining ties (all zeros) resolve lowest-index-first like lax.top_k
+    vw, iw = jax.lax.top_k(x, 3)
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(i))
+
+
+def test_padding_never_selected():
+    # V chosen so padding is required; all values very negative except a few
+    x = jnp.full((1, 1030), -1e9, jnp.float32)
+    x = x.at[0, 1029].set(5.0).at[0, 0].set(4.0)
+    v, i = hierarchical_top_k(x, 2, chunk_size=512)
+    assert sorted(np.asarray(i)[0].tolist()) == [0, 1029]
