@@ -231,7 +231,17 @@ class Trainer:
             batches = prefetch(self.train_loader,
                                n=opt.get("prefetch_batches", 2),
                                transform=self._device_batch)
+            profile_dir = opt.get("profile_dir", "")
+            step_in_epoch = 0
             for b in batches:
+                # capture a profiler trace over steps 5-10 of epoch 0
+                # (reference has only wall-clock latency logging; see
+                # utils/profiling.py for the latency.txt protocol)
+                if profile_dir and epoch == 0 and step_in_epoch == 5:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and epoch == 0 and step_in_epoch == 10:
+                    jax.profiler.stop_trace()
+                step_in_epoch += 1
                 rng, step_rng = jax.random.split(rng)
                 params = self.variables["params"]
                 extra = {k: v for k, v in self.variables.items()
@@ -246,6 +256,12 @@ class Trainer:
                 metric_tracker.update({k: float(v)
                                        for k, v in metrics.items()})
                 self.global_step += 1
+
+            if profile_dir and epoch == 0 and 5 < step_in_epoch <= 10:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
 
             epoch_time = time.time() - t0
             log = {"train_loss": loss_meter.avg, "epoch_time": epoch_time,
