@@ -36,9 +36,23 @@ def parse_args():
     p.add_argument("-dm_flags", "--decoder_modality_flags", type=str)
     p.add_argument("-pm_flags", "--predictor_modality_flags", type=str)
     p.add_argument("--load_model_weights_from", type=str, default="")
+    p.add_argument("--mesh", type=str, default="",
+                   help="device mesh, e.g. 'data=8' or 'data=4,model=2'; "
+                        "empty = single device")
     p.add_argument("--override", type=str, default="",
                    help="JSON dict of extra opt overrides")
     return p.parse_args()
+
+
+def parse_mesh(spec: str):
+    if not spec:
+        return None
+    from care_tpu.parallel import make_mesh
+    shape = {}
+    for part in spec.split(","):
+        axis, size = part.split("=")
+        shape[axis.strip()] = int(size)
+    return make_mesh(shape)
 
 
 def seed_everything(seed: int):
@@ -46,7 +60,7 @@ def seed_everything(seed: int):
     np.random.seed(seed)
 
 
-def run(opt):
+def run(opt, mesh=None):
     from care_tpu.data import get_loader
     from care_tpu.data.corpus import load_info_corpus, load_references
     from care_tpu.training.trainer import Trainer
@@ -78,7 +92,7 @@ def run(opt):
     trainer = trainer_cls(
         opt, train_loader=train_loader, val_loader=val_loader,
         test_loader=test_loader, references=references, vocab=vocab,
-        log_dir=os.path.join(opt["checkpoint_path"], "tb"))
+        log_dir=os.path.join(opt["checkpoint_path"], "tb"), mesh=mesh)
 
     if opt.get("load_model_weights_from"):
         from care_tpu.models.loading import (
@@ -112,4 +126,4 @@ if __name__ == "__main__":
               "w") as f:
         from care_tpu.training.checkpoints import _jsonable
         json.dump(_jsonable(opt), f, indent=1)
-    run(opt)
+    run(opt, mesh=parse_mesh(args.mesh))
