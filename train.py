@@ -117,7 +117,7 @@ if __name__ == "__main__":
 
     args = parse_args()
     overrides = {k: v for k, v in vars(args).items()
-                 if v not in (None, "") and k != "override"}
+                 if v not in (None, "") and k not in ("override", "mesh")}
     if args.override:
         overrides["final_overrides"] = json.loads(args.override)
     opt = get_opt(overrides)
