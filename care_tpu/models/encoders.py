@@ -291,6 +291,45 @@ class VOE(nn.Module):
                 "mean_encoder_hidden_states": [rnn_outputs.mean(axis=1)]}
 
 
+class LightCNN(nn.Module):
+    """Small conv stack over per-frame 7x7 patch grids (dense-patch
+    experiments, reference ``Encoder.py:301-323``). Input
+    [B, n_frames, ch*res*res] -> [B, n_frames, chs[-1]]."""
+    chs: tuple = (12, 32, 128, 512)
+    resolution: int = 7
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert x.ndim == 3
+        bsz, n_frames, _ = x.shape
+        r = self.resolution
+        h = x.reshape(bsz * n_frames, self.chs[0], r, r)
+        h = jnp.transpose(h, (0, 2, 3, 1))        # NHWC
+        for i, ch in enumerate(self.chs[1:]):
+            h = nn.Conv(ch, (3, 3), padding="VALID", name=f"conv{i+1}")(h)
+            h = nn.BatchNorm(use_running_average=deterministic,
+                             name=f"bn{i+1}")(h)
+            h = nn.relu(h)
+        h = h.reshape(bsz, n_frames, -1)
+        return nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+
+
+class POSLayer(nn.Module):
+    """Learned positional bias over per-frame patch positions
+    (reference ``Encoder.py:326-338``)."""
+    resolution: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.ndim == 3
+        bsz, n_frames, _ = x.shape
+        r2 = self.resolution ** 2
+        bias = self.param("pos_bias", nn.initializers.zeros, (r2,))
+        h = x.reshape(bsz * n_frames, -1, r2) + bias
+        return h.reshape(bsz, n_frames, -1)
+
+
 class SingleStreamEmbedder(nn.Module):
     """Channel-concat all modalities, then one Linear+LN+Dropout encoder
     (reference ``SingleStream``/``SingleStreamEmbedder``,

@@ -164,6 +164,39 @@ def build_references(raw_caps_all: Dict[str, List[List[str]]]):
     return refs
 
 
+def prepare_category_embeddings(glove_txt: str, dim: int):
+    """GloVe embeddings for the MSRVTT category names (multi-word names
+    like 'sports/actions' average their parts); reference
+    ``utils_corpora.py:385-421``. Returns (n_categories, dim)."""
+    import numpy as np
+    from care_tpu.constants import INDEX2CATEGORY
+
+    category2index = {}
+    index2num = {}
+    for index, category in INDEX2CATEGORY.items():
+        parts = category.split("/")
+        for c in parts:
+            category2index[c] = index
+        index2num[index] = len(parts)
+
+    embs = np.zeros((len(INDEX2CATEGORY), dim), dtype=np.float32)
+    num_exists = 0
+    with open(glove_txt, encoding="utf-8") as f:
+        for line in f:
+            content = line.rstrip().split(" ")
+            num = len(content) - dim
+            w = "-".join(content[:num])
+            if w in category2index:
+                num_exists += 1
+                embs[category2index[w]] += np.asarray(content[num:],
+                                                      np.float32)
+    assert num_exists == len(category2index), \
+        (num_exists, len(category2index))
+    for i, n in index2num.items():
+        embs[i] /= n
+    return embs
+
+
 def save_corpus(path: str, corpus: dict):
     with open(path, "wb") as f:
         pickle.dump(corpus, f)

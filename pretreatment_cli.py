@@ -195,6 +195,16 @@ def cmd_glove(args):
     np.save(args.out, table)
     print(f"- wrote {args.out} ({missing} OOV rows left zero)")
 
+    if args.categories_out:
+        from care_tpu.pretreatment.corpora import prepare_category_embeddings
+        cat = prepare_category_embeddings(args.glove_txt, dim)
+        # store into the corpus so `use_category_embs` picks them up
+        corpus["info"]["category_embeddings"] = cat
+        from care_tpu.pretreatment.corpora import save_corpus
+        save_corpus(os.path.join(args.corpus_dir, "info_corpus.pkl"), corpus)
+        np.save(args.categories_out, cat)
+        print(f"- wrote {args.categories_out} and updated info_corpus.pkl")
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -244,6 +254,9 @@ def main():
     g.add_argument("--glove_txt", required=True)
     g.add_argument("--corpus_dir", required=True)
     g.add_argument("--out", required=True)
+    g.add_argument("--categories_out", default="",
+                   help="also extract MSRVTT category embeddings and store "
+                        "them in info_corpus.pkl")
     g.set_defaults(func=cmd_glove)
 
     args = p.parse_args()
