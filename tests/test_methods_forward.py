@@ -101,3 +101,27 @@ def test_care_pointer_combination():
     model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
     out = model.apply(variables, batch, deterministic=True)
     assert "probs" in out and "preds_attr" in out
+
+
+@pytest.mark.parametrize("fusion", ["addition", "channel_concat"])
+def test_transformer_fusion_modes(fusion):
+    opt = tiny_opt(vocab_size=40)
+    opt["fusion"] = fusion
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    out = model.apply(variables, batch, deterministic=True,
+                      collect_aux=False)
+    assert out["logits"].shape == (2, opt["max_len"] - 1, 40)
+
+
+@pytest.mark.parametrize("fusion", ["none", "addition"])
+def test_rnn_fusion_modes_decode(fusion):
+    from care_tpu.decoding import get_translator
+    opt = tiny_opt(method="SALSTM", vocab_size=40, beam_size=2)
+    opt["fusion"] = fusion
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    out = model.apply(variables, batch, deterministic=True)
+    assert out["logits"].shape[-1] == 40
+    tr = get_translator(opt)
+    hyps, _ = tr.translate_batch([(model, variables)],
+                                 {"feats": batch["feats"]})
+    assert len(hyps) == 2
