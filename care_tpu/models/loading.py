@@ -89,16 +89,21 @@ def modify_opt_if_necessary(opt: dict, retrieval_datasets: List[str] = None,
 
 def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
                do_replace_paths: bool = True,
-               base_data_path: Optional[str] = None):
+               base_data_path: Optional[str] = None,
+               return_spec: bool = False):
     """Load one checkpoint or an ensemble.
 
     Returns (models, opt): ``models`` is a list of (captioner, variables)
-    pairs directly consumable by the translators.
+    pairs directly consumable by the translators. With ``return_spec`` an
+    ``EnsembleSpec`` is returned as a third value (None for a single model);
+    for heterogeneous-modality ensembles its merged opt unions the
+    modalities and ``split_feats`` distributes a union-ordered batch
+    (reference ``ModelEnsemble``, ``Wrapper.py:617-714``).
     """
     paths = (checkpoint_path if isinstance(checkpoint_path, (list, tuple))
              else [checkpoint_path])
     models = []
-    merged_opt = None
+    all_opts = []
     for p in paths:
         raw, opt, _ = load_checkpoint(p)
         if new_opt_used_to_override:
@@ -109,8 +114,17 @@ def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
         # restore into the correct pytree structure by re-initing a template
         variables = _restore_into_template(model, opt, raw)
         models.append((model, variables))
-        if merged_opt is None:
-            merged_opt = opt
+        all_opts.append(opt)
+
+    spec = None
+    merged_opt = all_opts[0]
+    if len(all_opts) > 1:
+        from care_tpu.models.ensemble import EnsembleSpec
+        spec = EnsembleSpec(all_opts)
+        merged_opt = {**all_opts[0], **{k: v for k, v in spec.opt.items()
+                                        if v is not None}}
+    if return_spec:
+        return models, merged_opt, spec
     return models, merged_opt
 
 

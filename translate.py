@@ -39,7 +39,8 @@ def parse_args():
     return p.parse_args()
 
 
-def run_eval(models, opt, loader, references, vocab, latency=False):
+def run_eval(models, opt, loader, references, vocab, latency=False,
+             ensemble_spec=None):
     from care_tpu.decoding import get_translator
     from care_tpu.metrics import COCOScorer
     from care_tpu.utils.logger import to_sentence
@@ -49,7 +50,10 @@ def run_eval(models, opt, loader, references, vocab, latency=False):
     total_time, n_videos = 0.0, 0
     for batch in loader:
         import jax.numpy as jnp
-        b = {"feats": [jnp.asarray(f) for f in batch["feats"]]}
+        feats = [jnp.asarray(f) for f in batch["feats"]]
+        if ensemble_spec is not None and ensemble_spec.need_to_split_feats:
+            feats = ensemble_spec.split_feats(feats)
+        b = {"feats": feats}
         for k in ("category", "category_embs"):
             if k in batch and isinstance(batch[k], np.ndarray):
                 b[k] = jnp.asarray(batch[k])
@@ -80,13 +84,14 @@ def main():
 
     args = parse_args()
     paths = args.checkpoint_paths
-    models, opt = load_model(
+    models, opt, ensemble_spec = load_model(
         paths if len(paths) > 1 else paths[0],
         new_opt_used_to_override={
             k: v for k, v in
             {"beam_size": args.beam_size, "beam_alpha": args.beam_alpha}
             .items() if v is not None},
-        base_data_path=args.base_data_path or None)
+        base_data_path=args.base_data_path or None,
+        return_spec=True)
     opt = modify_opt_if_necessary(opt, args.retrieval_datasets,
                                   args.retrieval_db_ratio)
 
@@ -108,7 +113,8 @@ def main():
                             is_validation=(args.mode == "validate"),
                             batch_size=batch_size, specific=specific)
         scores, detail, preds, total, n = run_eval(
-            models, opt, loader, references, vocab, latency=args.latency)
+            models, opt, loader, references, vocab, latency=args.latency,
+            ensemble_spec=ensemble_spec)
         tag = f"n_frames={n_frames}" + (
             f" category={specific}" if specific != -1 else "")
         print(f"{tag}:", {k: round(v, 4) for k, v in scores.items()})
