@@ -125,14 +125,14 @@ def left2right(tgt_tokens, forward_logits, q: int = 1, q_iterations: int = 1,
         token_probs = jnp.where(pad_mask, 1.0, 0.0)
         visual_mask = None
 
-    positions = jnp.arange(seq_len)[None, :]
+    # the reference collects the MASK indices ONCE from the initial canvas
+    # (na_algorithms.py:219-233) and uncovers them left-to-right in chunks
+    # of q; ranks therefore come from the initial mask layout
+    is_mask0 = tgt_tokens == constants.MASK
+    mask_rank0 = jnp.cumsum(is_mask0, axis=1) - is_mask0.astype(jnp.int32)
     for start in range(0, seq_len, q):
-        # uncover positions [start, start+q) among currently-MASKed slots
-        is_mask = tgt_tokens == constants.MASK
-        mask_rank = jnp.cumsum(is_mask, axis=1) - is_mask.astype(jnp.int32)
-        sel = is_mask & (mask_rank >= start) & (mask_rank < start + q)
-        masked = jnp.where(sel, constants.MASK, tgt_tokens)
-        new_tokens, new_probs = generate(masked)
+        sel = is_mask0 & (mask_rank0 >= start) & (mask_rank0 < start + q)
+        new_tokens, new_probs = generate(tgt_tokens)
         tgt_tokens = jnp.where(sel, new_tokens, tgt_tokens)
         token_probs = jnp.where(sel, new_probs, token_probs)
 

@@ -82,3 +82,43 @@ def test_nar_translator_with_teacher_identity_mapping():
         [(model, variables)], {"feats": batch["feats"]},
         teacher=(teacher, t_vars))
     assert len(hyps) == 2
+
+
+def _const_model(V=10, best=7):
+    def forward_logits(tokens):
+        logits = jnp.full(tokens.shape + (V,), -5.0)
+        return logits.at[..., best].set(5.0)
+    return forward_logits
+
+
+def test_left2right_fills_canvas():
+    canvas = jnp.asarray([[constants.MASK] * 4 + [constants.PAD] * 2],
+                         jnp.int32)
+    out, lprobs = nar.left2right(canvas, _const_model(), q=1, q_iterations=1)
+    out = np.asarray(out)
+    assert (out[0, :4] == 7).all()
+    assert (out[0, 4:] == constants.PAD).all()
+
+
+def test_easy_first_fills_canvas():
+    canvas = jnp.asarray([[constants.MASK] * 5 + [constants.PAD]],
+                         jnp.int32)
+    out, lprobs = nar.easy_first(canvas, _const_model(), q=2,
+                                 q_iterations=1)
+    out = np.asarray(out)
+    assert (out[0, :5] == 7).all()
+    assert out[0, 5] == constants.PAD
+
+
+def test_nar_translator_l2r_and_ef():
+    for paradigm in ("l2r", "ef"):
+        opt = tiny_opt(method="NAB", vocab_size=40)
+        opt["paradigm"] = paradigm
+        opt["length_beam_size"] = 2
+        opt["q"], opt["q_iterations"] = 2, 1
+        model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+        tr = get_translator(opt)
+        hyps, lprobs = tr.translate_batch([(model, variables)],
+                                          {"feats": batch["feats"]})
+        assert len(hyps) == 2
+        assert constants.MASK not in hyps[0][0]
