@@ -125,3 +125,26 @@ def test_rnn_fusion_modes_decode(fusion):
     hyps, _ = tr.translate_batch([(model, variables)],
                                  {"feats": batch["feats"]})
     assert len(hyps) == 2
+
+
+def test_pointer_gen_trains_with_copy_probs():
+    opt = tiny_opt(method="PointerGen", vocab_size=40)
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    _loss_step(opt, model, variables, batch)
+
+
+def test_vap_sparse_sampling_trains():
+    # VAP: visual concept detection with train-time sparse frame sampling
+    opt = tiny_opt(task="VAP", vocab_size=40, attribute_prediction_k=16)
+    assert opt["attribute_prediction_sparse_sampling"]
+    assert "attribute" in opt["crits"]
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    _loss_step(opt, model, variables, batch)
+
+
+def test_dap_dual_flags_trains():
+    # DAP: V + I flags -> decoder-side NoisyOrMILWithEmbs on input_embs
+    opt = tiny_opt(task="DAP", vocab_size=40, attribute_prediction_k=16)
+    assert opt["attribute_prediction_flags"] == "VI"
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    _loss_step(opt, model, variables, batch)
