@@ -435,7 +435,11 @@ class MultiLevelAttention(nn.Module):
         context, probs = temporal(hidden_states, feats, return_raw=True)
         stacked = jnp.stack(context, axis=1)  # [B, num_feats, D]
         ctx2, probs2 = modal(hidden_states, stacked, return_raw=True)
-        return ctx2[0] if isinstance(ctx2, list) else ctx2, probs + probs2
+        # temporal probs are [B, L] per feat; modality probs are
+        # [B, num_feats] — stack the temporal ones for the recorder (the
+        # reference stacks both, which only type-checks when the shapes
+        # coincide; we keep the well-defined part)
+        return ctx2[0], jnp.stack(probs, axis=1)
 
 
 def _rnn_uniform_init(features):

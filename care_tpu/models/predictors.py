@@ -126,14 +126,18 @@ class PredictorAttribute(nn.Module):
             preds_attr, avg_prob_attr = prepare_merged_probs(
                 scores, mask=mask, return_avg_prob=True)
 
-        if self.is_initializing() and not self.heads.shared:
+        if self.is_initializing():
             # decoder-side flag heads (I/P/C/H/T/S/A) are only applied
             # inside the loss layer (NoisyOrMILWithEmbs); touch them here so
             # their parameters materialise at init
             dummy = jnp.zeros((1, 1, opt["dim_hidden"]))
-            for f in flags:
-                if f != "V":
-                    self.heads.by_flag(dummy, f)
+            if self.heads.shared:
+                if "V" not in flags:   # e.g. TAP: single shared 'I'/'S' head
+                    self.heads.by_flag(dummy, flags[0])
+            else:
+                for f in flags:
+                    if f != "V":
+                        self.heads.by_flag(dummy, f)
 
         return {"preds_attr": preds_attr,
                 "avg_prob_attr": avg_prob_attr}

@@ -148,3 +148,29 @@ def test_dap_dual_flags_trains():
     assert opt["attribute_prediction_flags"] == "VI"
     model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
     _loss_step(opt, model, variables, batch)
+
+
+def test_tap_rnn_sentence_flag_trains():
+    # TAP_RNN: flag 'S' (sentence embeddings) + TextPostProcesser (PE+LN)
+    opt = tiny_opt(task="TAP_RNN", vocab_size=40,
+                   attribute_prediction_k=16)
+    assert opt["attribute_prediction_flags"] == "S"
+    assert opt["TAP_ln"] and opt["TAP_pos"]
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    _loss_step(opt, model, variables, batch)
+
+
+def test_shared_projection_heads():
+    opt = tiny_opt(task="DAP", vocab_size=40, attribute_prediction_k=16)
+    opt["attribute_prediction_share_prj"] = True
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    _loss_step(opt, model, variables, batch)
+
+
+def test_multilevel_attention_rnn():
+    opt = tiny_opt(method="SALSTM", vocab_size=40)
+    opt["with_multileval_attention"] = True
+    opt["fusion"] = "none"   # multi-feat temporal->modality attention
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2)
+    out = model.apply(variables, batch, deterministic=True)
+    assert out["logits"].shape[-1] == 40
