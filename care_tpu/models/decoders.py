@@ -336,7 +336,9 @@ class TransformerDecoder(nn.Module):
                 st["self_k"], k_new, (0, 0, cache_pos, 0))
             self_v = jax.lax.dynamic_update_slice(
                 st["self_v"], v_new, (0, 0, cache_pos, 0))
-            h = layer.step(h, position, (self_k, self_v), st["inter_kv"],
+            # RPE rows select by the position in the full (prefix + words)
+            # sequence
+            h = layer.step(h, cache_pos, (self_k, self_v), st["inter_kv"],
                            attr_kv=st["attr_kv"], self_bias=self_bias,
                            preds_attr=aux["preds_attr"],
                            n_frames=opt["n_frames"])

@@ -18,6 +18,7 @@ TPU-first deltas:
 
 from typing import Optional, Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -120,24 +121,31 @@ class MultiHeadAttention(nn.Module):
         return split_heads(q, self.num_attention_heads)
 
     def _make_bias(self, attention_mask, length_q, length_k, decoding_type,
-                   n_frames, rpe_query_positions=None):
-        """Combine pad/causal mask, RPE and hybrid bias into one additive bias."""
+                   n_frames, rpe_query_position=None, rpe_total_q=None):
+        """Combine pad/causal mask, RPE and hybrid bias into one additive bias.
+
+        ``rpe_query_position`` (scalar, KV-cached decode): the relative-
+        position table is computed for the FULL query range
+        (``rpe_total_q``) and the single row at the current position is
+        selected — computing it with length_q=1 would wrongly anchor every
+        step at position 0.
+        """
         bias = None
         if attention_mask is not None:
             bias = attention_mask  # already additive 0/-1e9, [B,1,Lq,Lk]
 
         if self.have_relative_position_bias:
+            lq = rpe_total_q if rpe_query_position is not None else length_q
             if self.attend_to_video:
-                rpe_bias = self.rpe(length_q, n_frames, bidirectional=True,
+                rpe_bias = self.rpe(lq, n_frames, bidirectional=True,
                                     tile_to=length_k)
             else:
-                rpe_bias = self.rpe(length_q, length_k,
+                rpe_bias = self.rpe(lq, length_k,
                                     bidirectional=(decoding_type == "NARFormer"))
-            if rpe_query_positions is not None:
-                # single-step decode: select the bias rows of the current
-                # positions; rpe_bias [1,H,Lq_full,Lk] -> [B,H,1,Lk]
-                rpe_bias = jnp.take(rpe_bias[0], rpe_query_positions, axis=1)
-                rpe_bias = jnp.transpose(rpe_bias, (1, 0, 2))[:, :, None, :]
+            if rpe_query_position is not None:
+                # [1, H, Lq_full, Lk] -> [1, H, 1, Lk] row at the position
+                rpe_bias = jax.lax.dynamic_slice_in_dim(
+                    rpe_bias, rpe_query_position, 1, axis=2)
             bias = rpe_bias if bias is None else bias + rpe_bias
 
         if self.add_hybrid_attention_bias:
@@ -506,11 +514,13 @@ class DecoderLayer(nn.Module):
         ``self_bias``: additive [B, 1, 1, Lmax] masking future positions.
         Returns new hidden state [B, 1, D].
         """
-        # self attention over the cache
+        # self attention over the cache; `position` is the query's index
+        # in the full (prefix + words) sequence for RPE row selection
+        cache_len = self_kv[0].shape[2]
         q = self.intra_attention.project_q(x, preds_attr)
         bias = self.intra_attention._make_bias(
-            self_bias, 1, self_kv[0].shape[2], "ARFormer", n_frames,
-            rpe_query_positions=jnp.full((x.shape[0],), position))
+            self_bias, 1, cache_len, "ARFormer", n_frames,
+            rpe_query_position=position, rpe_total_q=cache_len)
         h, _, _ = self.intra_attention.attend(
             q, self_kv[0], self_kv[1], bias, x, deterministic=True,
             return_probs=False, preds_attr=preds_attr)
@@ -527,7 +537,8 @@ class DecoderLayer(nn.Module):
         if self.has_attr_attention and self.attr_layer_pos == "parallel":
             qc = self.inter_attention.project_q(h, preds_attr)
             cbias = self.inter_attention._make_bias(
-                cross_bias, 1, inter_kv[0].shape[2], "ARFormer", n_frames)
+                cross_bias, 1, inter_kv[0].shape[2], "ARFormer", n_frames,
+                rpe_query_position=position, rpe_total_q=cache_len)
             _, _, inter_context = self.inter_attention.attend(
                 qc, inter_kv[0], inter_kv[1], cbias, h, deterministic=True,
                 return_probs=False, preds_attr=preds_attr)
@@ -542,7 +553,8 @@ class DecoderLayer(nn.Module):
         else:
             qc = self.inter_attention.project_q(h, preds_attr)
             cbias = self.inter_attention._make_bias(
-                cross_bias, 1, inter_kv[0].shape[2], "ARFormer", n_frames)
+                cross_bias, 1, inter_kv[0].shape[2], "ARFormer", n_frames,
+                rpe_query_position=position, rpe_total_q=cache_len)
             h, _, _ = self.inter_attention.attend(
                 qc, inter_kv[0], inter_kv[1], cbias, h, deterministic=True,
                 return_probs=False, preds_attr=preds_attr)

@@ -97,3 +97,23 @@ def test_kv_logits_match_with_category():
     full = per_step_logits_full(model, variables, inputs, seq)
     kv = per_step_logits_kv(model, variables, inputs, seq, opt["max_len"])
     np.testing.assert_allclose(kv, full, atol=2e-4)
+
+
+def test_rpe_kv_logits_match_full_forward():
+    """Relative position bias: full-forward bias matrix vs the decode
+    step's per-position row selection must agree."""
+    opt = tiny_opt(vocab_size=50, num_hidden_layers_decoder=2, beam_size=1,
+                   topk=1)
+    opt["RPE"] = True
+    opt["RPE_keep_abs_pos"] = False
+    opt["max_relative_position"] = 6
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=2, seed=8)
+
+    enc = model.apply(variables, batch["feats"],
+                      method=Captioner.encoding_phase)
+    inputs = model.apply(variables, enc, {},
+                         method=Captioner.prepare_inputs_for_decoder)
+    seq = _roll_tokens(opt, 2, seed=9)
+    full = per_step_logits_full(model, variables, inputs, seq)
+    kv = per_step_logits_kv(model, variables, inputs, seq, opt["max_len"])
+    np.testing.assert_allclose(kv, full, atol=2e-4)
