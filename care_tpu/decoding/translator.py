@@ -210,7 +210,6 @@ class TranslatorNARFormer(Translator):
 
     def _build_fn(self, model, variables_teacher, vocab_mapping):
         opt = self.opt
-        lbs = self.length_beam_size
         max_len = self.max_len
         paradigm = self.paradigm
 
@@ -219,18 +218,23 @@ class TranslatorNARFormer(Translator):
             model_obj, teacher_obj = model
             enc = model_obj.apply(variables, feats,
                                   method=Captioner.encoding_phase)
-            inputs = model_obj.apply(variables, enc, batch_aux,
-                                     method=Captioner.prepare_inputs_for_decoder)
-            inputs = auto_enlarge(inputs, lbs)
 
             # length beam (reference Translator.py:307-318)
             if "preds_length" in enc:
+                lbs = self.length_beam_size
                 _, beam = jax.lax.top_k(enc["preds_length"], lbs)
                 beam = beam + self.length_bias
                 beam = jnp.clip(beam, 4, max_len)
             else:
                 lo, hi = opt.get("na_length_range", [5, 11])
-                beam = jnp.broadcast_to(jnp.arange(lo, hi)[None, :lbs], (N, lbs))
+                # reference adapts length_beam_size to the range length
+                # (Translator.py:272: self.length_beam_size = beam.shape[1])
+                lbs = hi - lo
+                beam = jnp.broadcast_to(jnp.arange(lo, hi)[None, :], (N, lbs))
+
+            inputs = model_obj.apply(variables, enc, batch_aux,
+                                     method=Captioner.prepare_inputs_for_decoder)
+            inputs = auto_enlarge(inputs, lbs)
 
             lengths = beam.reshape(N * lbs)                 # [N*lbs]
             pos = jnp.arange(max_len)[None, :]

@@ -90,7 +90,7 @@ def modify_opt_if_necessary(opt: dict, retrieval_datasets: List[str] = None,
 def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
                do_replace_paths: bool = True,
                base_data_path: Optional[str] = None,
-               return_spec: bool = False):
+               return_spec: bool = False, strict: bool = True):
     """Load one checkpoint or an ensemble.
 
     Returns (models, opt): ``models`` is a list of (captioner, variables)
@@ -112,7 +112,9 @@ def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
             opt = replace_paths(opt, base_data_path)
         model = build_captioner(opt)
         # restore into the correct pytree structure by re-initing a template
-        variables = _restore_into_template(model, opt, raw)
+        # (strict like the reference's load_from_checkpoint(strict=True),
+        # models/__init__.py:97; weight-init loads pass strict=False)
+        variables = _restore_into_template(model, opt, raw, strict=strict)
         models.append((model, variables))
         all_opts.append(opt)
 
@@ -128,9 +130,14 @@ def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
     return models, merged_opt
 
 
-def _restore_into_template(model, opt, raw_state):
+def _restore_into_template(model, opt, raw_state, strict=True, verbose=True):
     """Build an init template with tiny synthetic inputs, then graft the
-    restored arrays into it (shapes must match)."""
+    restored arrays into it (shapes must match).
+
+    ``strict`` raises if the checkpoint is missing any template parameter
+    (a renamed module / truncated checkpoint must not silently evaluate
+    with fresh random weights — reference ``load_state_dict`` strictness,
+    ``models/__init__.py:97``)."""
     import jax
     import jax.numpy as jnp
 
@@ -153,6 +160,16 @@ def _restore_into_template(model, opt, raw_state):
 
     flat_t = traverse_util.flatten_dict(template, sep="/")
     flat_r = traverse_util.flatten_dict(raw_state, sep="/")
+    missing = sorted(set(flat_t) - set(flat_r))
+    extra = sorted(set(flat_r) - set(flat_t))
+    if missing and strict:
+        raise KeyError(
+            f"checkpoint is missing {len(missing)} parameter(s) present in "
+            f"the model: {missing[:10]}{'…' if len(missing) > 10 else ''}")
+    if verbose and missing:
+        print("- Missing Keys (kept at fresh init):", missing[:10])
+    if verbose and extra:
+        print("- Extra Keys in the Checkpoint:", extra[:10])
     out = {}
     for k, v in flat_t.items():
         if k in flat_r:

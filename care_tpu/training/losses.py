@@ -116,9 +116,11 @@ def lang_loss(opt, results) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         metrics[f"word_acc_num{suffix}"] = m["word_acc_num"]
         metrics[f"word_acc_den{suffix}"] = m["word_acc_den"]
         if not (i == 0 and opt.get("visual_word_generation", False)):
-            # perplexity only counts the caption-generation pass
-            metrics["xent_sum"] = m["xent_sum"]
-            metrics["xent_count"] = m["xent_count"]
+            # perplexity only counts the caption-generation pass(es);
+            # accumulate across entries (reference accumulates per pass)
+            metrics["xent_sum"] = metrics.get("xent_sum", 0.0) + m["xent_sum"]
+            metrics["xent_count"] = (metrics.get("xent_count", 0.0)
+                                     + m["xent_count"])
         if i == 0 and opt.get("visual_word_generation", False):
             # word-acc0 ignores MASK targets (reference crit_lang.py:75-78)
             lb0 = labels[0]
