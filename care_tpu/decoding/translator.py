@@ -169,10 +169,12 @@ class TranslatorARFormer(Translator):
         key = (tuple(id(m) for m, _ in models),
                tuple(sorted(batch_aux.keys())), is_rnn)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_fn(models,
-                                                  tuple(sorted(batch_aux)),
-                                                  is_rnn)
-        fn = self._jit_cache[key]
+            # keep strong refs to the models: id() keys of garbage-collected
+            # modules can be recycled and would serve a stale compiled fn
+            self._jit_cache[key] = (
+                self._build_fn(models, tuple(sorted(batch_aux)), is_rnn),
+                [m for m, _ in models])
+        fn = self._jit_cache[key][0]
         all_variables = [v for _, v in models]
         hyp_tokens, hyp_scores, hyp_lengths, hyp_valid = fn(
             all_variables, batch["feats"], batch_aux)
@@ -183,6 +185,11 @@ class TranslatorARFormer(Translator):
         hyp_valid = np.asarray(hyp_valid)
 
         all_hyp, all_scores = [], []
+        # the reference's collect_hypothesis_and_scores reassigns
+        # n_best = min(n_best, len(scores)) INSIDE the instance loop
+        # (Translator.py:211-220), so one under-filled beam caps every
+        # later instance's hypothesis count — reproduced for parity
+        n_best = self.topk
         for n in range(hyp_tokens.shape[0]):
             hyps, scores = [], []
             for k in range(hyp_tokens.shape[1]):
@@ -191,8 +198,9 @@ class TranslatorARFormer(Translator):
                 L = int(hyp_lengths[n, k])
                 hyps.append(hyp_tokens[n, k, :L].tolist())
                 scores.append(float(hyp_scores[n, k]))
-            all_hyp.append(hyps)
-            all_scores.append(scores)
+            n_best = min(n_best, len(hyps))
+            all_hyp.append(hyps[:n_best])
+            all_scores.append(scores[:n_best])
         return all_hyp, all_scores
 
 
@@ -323,9 +331,11 @@ class TranslatorNARFormer(Translator):
               else None)
         key = (id(model), id(teacher_obj), self.paradigm)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_fn(
-                (model, teacher_obj), teacher_vars, vm)
-        fn = self._jit_cache[key]
+            # strong refs: see TranslatorARFormer.translate_batch
+            self._jit_cache[key] = (
+                self._build_fn((model, teacher_obj), teacher_vars, vm),
+                (model, teacher_obj))
+        fn = self._jit_cache[key][0]
         batch_aux = self._batch_inputs(batch)
         hyp, lp = fn(variables, batch["feats"], batch_aux,
                      teacher_vars if teacher_vars is not None else {})
