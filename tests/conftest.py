@@ -20,6 +20,12 @@ try:
 except Exception:
     pass
 
+# The default matmul precision on this backend is bfloat16 (measured:
+# f32 inputs, ~5e-3 relative error). Parity tests compare against torch
+# f32 matmuls — pin full f32 so mismatches mean semantics, not precision.
+# Production TPU code intentionally keeps the fast default.
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,210 @@
+"""Score-parity rehearsal for the CIDEr north-star (BASELINE.md:24).
+
+Real MSRVTT features don't exist in this environment, so this is the
+closest achievable proxy: train the ACTUAL reference torch stack (model +
+criterion, via ``reference_adapter.import_reference``) and our stack on the
+SAME tiny synthetic correlated corpus, from the SAME transplanted initial
+weights, with the SAME batch stream and hyperparameters (dropout off,
+Adam + StepLR 0.9/epoch, wd 0) — then run each stack's own decode on the
+test split and score both with the COCO metrics. The full score dicts must
+match within tolerance, proving the two training+decoding+eval pipelines
+are exchangeable end to end.
+"""
+
+import numpy as np
+import pytest
+
+from care_tpu import constants
+from care_tpu.config import get_opt
+from care_tpu.data import get_loader
+from care_tpu.data.corpus import write_synthetic_dataset
+from care_tpu.metrics import COCOScorer
+from care_tpu.utils.logger import to_sentence
+
+from reference_adapter import import_reference, transplant_transformer_weights
+
+EPOCHS = 12
+LR = 5e-4
+GAMMA = 0.9
+
+
+def _make_env(tmp_path):
+    overrides = {
+        "dataset": "MSRVTT", "method": "Transformer", "task": "Base",
+        "feats": "ViT", "modality": "mi",
+        # YAML overlays overwrite plain overrides (reference CLI semantics);
+        # force the tiny deterministic shape post-YAML
+        "final_overrides": {
+            "max_len": 12, "n_frames": 8, "batch_size": 8,
+            "beam_size": 3, "topk": 1, "beam_alpha": 1.0,
+            "num_hidden_layers_decoder": 1, "dim_hidden": 64,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "encoder_dropout_prob": 0.0, "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0, "trainable_pe": True,
+            "crits": ["lang"],
+        },
+    }
+    opt = get_opt(overrides, read_vocab=False, resolve_paths=False)
+    opt["dim_m"], opt["dim_i"] = 32, 16
+
+    import os
+    root, paths, corpus, refs = write_synthetic_dataset(
+        str(tmp_path), opt, n_videos=24, correlated=True)
+    opt["info_corpus"] = os.path.join(root, "info_corpus.pkl")
+    opt["reference"] = os.path.join(root, "refs.pkl")
+    for c, p in paths.items():
+        opt[f"feats_{c}"] = [p]
+    opt["vocab_size"] = len(corpus["info"]["itow"])
+    return opt, corpus, refs
+
+
+def _ref_opt_from(opt):
+    """The subset of keys the reference model/criterion constructors read."""
+    keys = ["decoding_type", "fusion", "modality", "dim_m", "dim_i",
+            "dim_hidden", "encoder_dropout_prob", "hidden_dropout_prob",
+            "attention_probs_dropout_prob", "num_attention_heads",
+            "intermediate_size", "hidden_act", "layer_norm_eps",
+            "num_hidden_layers_decoder", "vocab_size", "max_len",
+            "n_frames", "trainable_pe", "enhance_input", "watch", "crits",
+            "beam_size", "topk", "beam_alpha"]
+    ref_opt = {k: opt[k] for k in keys if k in opt}
+    ref_opt.update({"decoder": "TransformerDecoder", "cls_head": "NaiveHead",
+                    "encoder": "Embedder", "feats": "",
+                    "label_smoothing": opt.get("label_smoothing", 0.0)})
+    return ref_opt
+
+
+def _to_torch(torch, batch):
+    t = {"feats": [torch.from_numpy(np.asarray(f)) for f in batch["feats"]],
+         "input_ids": torch.from_numpy(
+             np.asarray(batch["input_ids"])).long()}
+    if "labels" in batch:
+        t["labels"] = torch.from_numpy(np.asarray(batch["labels"])).long()
+    return t
+
+
+def test_training_and_coco_scores_match_reference(tmp_path):
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from misc.Crit import get_criterion as ref_get_criterion
+    from models.Translator import get_translator as ref_get_translator
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from care_tpu.models import build_captioner
+    from care_tpu.training.losses import Criterion
+
+    opt, corpus, refs = _make_env(tmp_path)
+    itow = corpus["info"]["itow"]
+    ref_opt = _ref_opt_from(opt)
+
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()          # dropout off; grads still flow
+    ref_crit = ref_get_criterion({**ref_opt,
+                                  "calculate_mAP": False})
+
+    model = build_captioner(opt)
+    train_loader = get_loader(opt, "train")
+    first = next(iter(train_loader))
+    batch0 = {"feats": [jnp.asarray(np.asarray(f)) for f in first["feats"]],
+              "input_ids": jnp.asarray(np.asarray(first["input_ids"]))}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng,
+                            "sampling": rng}, batch0, deterministic=True)
+    params = jax.tree.map(np.asarray, variables["params"])
+    params = transplant_transformer_weights(ref_model.state_dict(), params,
+                                            ref_opt)
+    # jnp.asarray on CPU is ZERO-COPY: the transplanted leaves are views of
+    # the torch parameter buffers, and ref_optim.step() would mutate our
+    # params in place — force a real copy
+    params = jax.tree.map(lambda x: jnp.array(np.array(x, copy=True)),
+                          params)
+
+    criterion = Criterion(opt)
+    steps_per_epoch = len(train_loader)
+    sched = lambda step: LR * (GAMMA ** (step // steps_per_epoch))
+    tx = optax.adam(learning_rate=sched)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            outputs = model.apply({"params": p}, batch, deterministic=True,
+                                  collect_aux=False)
+            total, _, _ = criterion({**outputs, **batch}, None)
+            return total
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    ref_optim = torch.optim.Adam(ref_model.parameters(), lr=LR,
+                                 weight_decay=0.0)
+    ref_sched = torch.optim.lr_scheduler.StepLR(ref_optim, step_size=1,
+                                                gamma=GAMMA)
+
+    first_epoch_pairs = []
+    for epoch in range(EPOCHS):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            tb = _to_torch(torch, batch)
+            out = ref_model(tb, current_epoch=epoch)
+            ref_loss = ref_crit.get_loss({**out, **tb})
+            ref_optim.zero_grad()
+            ref_loss.backward()
+            ref_optim.step()
+
+            jb = {"feats": [jnp.asarray(np.asarray(f))
+                            for f in batch["feats"]],
+                  "input_ids": jnp.asarray(np.asarray(batch["input_ids"])),
+                  "labels": jnp.asarray(np.asarray(batch["labels"]))}
+            params, opt_state, our_loss = train_step(params, opt_state, jb)
+            if epoch == 0:
+                first_epoch_pairs.append((float(ref_loss.detach()),
+                                          float(our_loss)))
+        ref_sched.step()
+
+    # loss semantics lock: identical init + identical batches => the very
+    # first losses are equal, and the whole first epoch tracks closely
+    r0, o0 = first_epoch_pairs[0]
+    assert abs(r0 - o0) < 1e-3 * max(1.0, abs(r0)), (r0, o0)
+    for r, o in first_epoch_pairs:
+        assert abs(r - o) < 0.05 * max(1.0, abs(r)), first_epoch_pairs
+
+    # --- decode the test split with each stack's own engine --------------
+    test_loader = get_loader(opt, "test", not_shuffle=True)
+    ref_tr = ref_get_translator({**ref_opt, "decoding_type": "ARFormer"})
+
+    from care_tpu.decoding.translator import get_translator
+    our_tr = get_translator(opt)
+    our_vars = {"params": params}
+
+    ref_preds, our_preds = {}, {}
+    with torch.no_grad():
+        for batch in test_loader:
+            tb = _to_torch(torch, batch)
+            rh, _ = ref_tr.translate_batch([ref_model], tb)
+            jb = {"feats": [jnp.asarray(np.asarray(f))
+                            for f in batch["feats"]]}
+            oh, _ = our_tr.translate_batch([(model, our_vars)], jb)
+            for i, vid in enumerate(batch["video_ids"]):
+                ref_preds[vid] = [{"image_id": vid,
+                                   "caption": to_sentence(rh[i][0], itow)}]
+                our_preds[vid] = [{"image_id": vid,
+                                   "caption": to_sentence(oh[i][0], itow)}]
+
+    scorer = COCOScorer(verbose=False)
+    ids = list(ref_preds.keys())
+    ref_scores, _ = scorer.score(refs, ref_preds, ids)
+    our_scores, _ = scorer.score(refs, our_preds, ids)
+
+    # the north-star tolerance is 0.5 CIDEr points (x100 scale) on real
+    # MSRVTT; on this tiny corpus we require the full dict to 2 points
+    for key in ["Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
+        assert abs(ref_scores[key] - our_scores[key]) <= 0.02, (
+            key, ref_scores, our_scores)
+
+    # and training must actually have learned something on both stacks
+    assert ref_scores["CIDEr"] > 0.25, ref_scores
+    assert our_scores["CIDEr"] > 0.25, our_scores
