@@ -159,7 +159,10 @@ def _noisy_or_mil(opt, preds_attr, avg_prob_attr, labels_attr,
 
     metrics: Dict[str, jnp.ndarray] = {}
     if with_metrics:
-        topk_list = [5, 10, 20, 30, 40, 50]
+        # F1@k ladder (reference pred_attribute.py evaluation ks), clamped
+        # to the attribute-vocabulary size for small (synthetic) corpora
+        topk_list = [k for k in (5, 10, 20, 30, 40, 50)
+                     if k <= preds_attr.shape[1]] or [preds_attr.shape[1]]
         _, candidates = jax.lax.top_k(preds_attr, max(topk_list))
         hits = jnp.take_along_axis(labels_attr, candidates, axis=1)
         total_pos = labels_attr.sum(axis=1)

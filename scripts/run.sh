@@ -2,11 +2,16 @@
 # Seed-replication runner (reference scripts/run.sh): every experiment runs
 # N seeds; results accumulate into test_result.csv per scope and are
 # aggregated with misc_tools/merge_csv.py.
-# Usage: bash scripts/run.sh "<train.py args>" [n_seeds]
+# Usage: bash scripts/run.sh "python train.py <args>" [n_seeds] [device]
+# `device` is accepted for reference-script parity; on TPU it is forwarded
+# as the no-op --devices flag (device selection is via JAX / --mesh).
 
-ARGS=$1
-N_SEEDS=${2:-5}
+cmd=$1
+num_runs=${2:-5}
+device=${3:-0}
 
-for ((seed=0; seed<N_SEEDS; seed++)); do
-    python train.py $ARGS --seed $seed
+for ((seed=0; seed<num_runs; seed++)); do
+    this_cmd="$cmd --seed $seed --devices $device"
+    echo "cmd: $this_cmd"
+    eval $this_cmd
 done

@@ -18,7 +18,7 @@ import random
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-d", "--dataset", type=str, default="MSRVTT",
                    choices=["MSVD", "MSRVTT", "VATEX"])
@@ -41,7 +41,14 @@ def parse_args():
                         "empty = single device")
     p.add_argument("--override", type=str, default="",
                    help="JSON dict of extra opt overrides")
-    return p.parse_args()
+    p.add_argument("--devices", type=str, default="",
+                   help="accepted for script parity with the reference CLI "
+                        "(GPU index); device selection on TPU is via JAX / "
+                        "--mesh, so this is a no-op")
+    # every remaining option key becomes a flag (reference opts.py:15-257)
+    from care_tpu.config.cli import add_opt_arguments
+    add_opt_arguments(p)
+    return p.parse_args(argv)
 
 
 def parse_mesh(spec: str):
@@ -116,8 +123,9 @@ if __name__ == "__main__":
     from care_tpu.config import get_opt
 
     args = parse_args()
-    overrides = {k: v for k, v in vars(args).items()
-                 if v not in (None, "") and k not in ("override", "mesh")}
+    from care_tpu.config.cli import overrides_from_args
+    overrides = overrides_from_args(args, exclude=("override", "mesh",
+                                                   "devices"))
     if args.override:
         overrides["final_overrides"] = json.loads(args.override)
     opt = get_opt(overrides)

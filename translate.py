@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-cp", "--checkpoint_paths", nargs="+", type=str,
                    required=True)
@@ -36,7 +36,28 @@ def parse_args():
     p.add_argument("--save_detail_scores_path", type=str, default="")
     p.add_argument("--retrieval_db_ratio", type=float, default=100)
     p.add_argument("--retrieval_datasets", nargs="+", type=str, default=[])
-    return p.parse_args()
+    # CSV results (reference translate.py:126-134): accumulate score rows
+    # into a csv in the model folder (or --csv_path) for merge_csv.
+    p.add_argument("--save_csv", action="store_true")
+    p.add_argument("--csv_path", type=str, default="")
+    p.add_argument("--csv_name", type=str, default="test_result.csv")
+    # NAR decoding overrides (reference translate.py:150-160)
+    p.add_argument("-i", "--iterations", type=int, default=None)
+    p.add_argument("-lbs", "--length_beam_size", type=int, default=None)
+    p.add_argument("-q", "--q", type=int, default=None)
+    p.add_argument("-qi", "--q_iterations", type=int, default=None)
+    p.add_argument("-paradigm", "--paradigm", type=str, default=None,
+                   choices=["mp", "ef", "l2r"])
+    p.add_argument("-use_ct", "--use_ct", action="store_true", default=None)
+    p.add_argument("-md", "--masking_decision", action="store_true",
+                   default=None)
+    p.add_argument("-ncd", "--no_candidate_decision", action="store_true",
+                   default=None)
+    p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("-topk", "--topk", type=int, default=None)
+    p.add_argument("--devices", type=str, default="",
+                   help="script-parity no-op (device selection is via JAX)")
+    return p.parse_args(argv)
 
 
 def run_eval(models, opt, loader, references, vocab, latency=False,
@@ -84,12 +105,15 @@ def main():
 
     args = parse_args()
     paths = args.checkpoint_paths
+    decode_overrides = {
+        k: getattr(args, k) for k in
+        ("beam_size", "beam_alpha", "iterations", "length_beam_size", "q",
+         "q_iterations", "paradigm", "use_ct", "masking_decision",
+         "no_candidate_decision", "teacher_path", "topk")
+        if getattr(args, k) is not None}
     models, opt, ensemble_spec = load_model(
         paths if len(paths) > 1 else paths[0],
-        new_opt_used_to_override={
-            k: v for k, v in
-            {"beam_size": args.beam_size, "beam_alpha": args.beam_alpha}
-            .items() if v is not None},
+        new_opt_used_to_override=decode_overrides,
         base_data_path=args.base_data_path or None,
         return_spec=True)
     opt = modify_opt_if_necessary(opt, args.retrieval_datasets,
@@ -118,6 +142,21 @@ def main():
         tag = f"n_frames={n_frames}" + (
             f" category={specific}" if specific != -1 else "")
         print(f"{tag}:", {k: round(v, 4) for k, v in scores.items()})
+
+        if args.save_csv:
+            from care_tpu.utils.logger import save_dict_to_csv
+            row = dict(scores)
+            row["scope"] = opt.get("scope", "")
+            row["seed"] = opt.get("seed", 0)
+            row["mode"] = args.mode
+            if args.loop_n_frames:
+                row["n_frames"] = n_frames
+            if specific != -1:
+                row["category"] = specific
+            if args.retrieval_db_ratio != 100:
+                row["retrieval_db_ratio"] = args.retrieval_db_ratio
+            csv_dir = args.csv_path or os.path.dirname(paths[0]) or "."
+            save_dict_to_csv(csv_dir, args.csv_name, row)
 
         if args.latency:
             avg = total / max(n, 1)
