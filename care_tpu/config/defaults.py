@@ -230,6 +230,7 @@ _DEFAULTS = {
     "use_pallas_attention": "auto",  # 'auto' | True | False
     "mesh_shape": None,              # e.g. {'data': 8} or {'data': 4, 'model': 2}
     "remat": False,                  # jax.checkpoint on decoder layers
+    "backbone_weights": [],          # local torch state_dicts per modality
     "prefetch_batches": 2,           # host pipeline prefetch depth
 }
 

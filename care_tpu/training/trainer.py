@@ -113,6 +113,10 @@ class Trainer:
         self.variables = self.model.init(
             {"params": rng, "dropout": rng, "sampling": rng}, batch,
             deterministic=False)
+        if self.opt.get("backbone_weights"):
+            from care_tpu.models.backbone import maybe_load_backbone_weights
+            self.variables = maybe_load_backbone_weights(self.variables,
+                                                         self.opt)
         if self.mesh is not None:
             from care_tpu.parallel import shard_params
             self.variables = shard_params(self.variables, self.mesh)

@@ -77,34 +77,81 @@ def _load_clip(ckpt_path):
     return convert_openai_clip_state_dict(sd)
 
 
-def cmd_image_feats(args):
-    """Encode per-video frame dirs -> (n_total_frames, d) HDF5 datasets."""
+def _iter_video_frames(frames_dir, k, suffix="jpg", limit=0):
+    """Yield (video_id, frame paths): uniform-k sampling per video
+    (reference ``extract_image_feats_from_frames.py:24-45``)."""
     import glob
+    from care_tpu.data.samplers import get_uniform_items_from_k_snippets
+    for vid_dir in sorted(glob.glob(os.path.join(frames_dir, "*"))):
+        vid = os.path.basename(vid_dir)
+        if limit and vid.startswith("video") and int(vid[5:]) >= limit:
+            continue
+        frames = sorted(glob.glob(os.path.join(vid_dir, f"*.{suffix}")))
+        if not frames:
+            continue
+        if k:
+            frames = get_uniform_items_from_k_snippets(frames, k)
+        yield vid, frames
+
+
+def cmd_image_feats(args):
+    """Encode per-video frame dirs -> (k, d) HDF5 datasets, with either the
+    CLIP visual tower (reference ``pretreatment/clip_feats.py``) or an
+    ImageNet CNN (reference ``extract_image_feats_from_frames.py``)."""
     import h5py
     from PIL import Image
     from care_tpu import constants
-    from care_tpu.data.samplers import get_uniform_items_from_k_snippets
-    from care_tpu.pretreatment.clip import (CLIPVisionTransformer,
-                                            preprocess_images, encode_images)
 
-    vision, _, meta = _load_clip(args.clip_ckpt)
-    model = CLIPVisionTransformer(patch_size=meta["patch"],
-                                  width=meta["width"],
-                                  layers=meta["v_layers"])
+    k = args.k if args.k is not None else constants.N_TOTAL_FRAMES
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with h5py.File(args.out, "w") as hf:
-        for vid_dir in sorted(glob.glob(os.path.join(args.frames_dir, "*"))):
-            vid = os.path.basename(vid_dir)
-            frames = sorted(glob.glob(os.path.join(vid_dir, "*.jpg")))
-            if not frames:
-                continue
-            frames = get_uniform_items_from_k_snippets(
-                frames, constants.N_TOTAL_FRAMES)
+
+    if args.model == "clip":
+        assert args.clip_ckpt, "--clip_ckpt is required for --model clip"
+        from care_tpu.pretreatment.clip import (CLIPVisionTransformer,
+                                                preprocess_images,
+                                                encode_images)
+        vision, _, meta = _load_clip(args.clip_ckpt)
+        model = CLIPVisionTransformer(patch_size=meta["patch"],
+                                      width=meta["width"],
+                                      layers=meta["v_layers"])
+
+        def encode(frames):
             imgs = np.stack([
                 np.asarray(Image.open(f).convert("RGB").resize((224, 224)))
                 for f in frames])
-            embs = encode_images(vision, preprocess_images(imgs), model)
-            hf.create_dataset(vid, data=embs.astype(np.float32))
+            return encode_images(vision, preprocess_images(imgs), model)
+    else:
+        import jax
+        import torch
+        from care_tpu.models.cnn import (create_cnn, convert_cnn_state_dict,
+                                         preprocess_cnn_images,
+                                         encode_images as encode_cnn)
+        model = create_cnn(args.model)
+        if args.cnn_ckpt:
+            sd = torch.load(args.cnn_ckpt, map_location="cpu")
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            sd = {kk: v.numpy() for kk, v in sd.items()
+                  if hasattr(v, "numpy")}
+            variables = convert_cnn_state_dict(sd, args.model)
+        else:
+            print("! no --cnn_ckpt given: random-init weights "
+                  "(only useful for smoke tests)")
+            dummy = np.zeros((1, 64, 64, 3), np.float32)
+            variables = model.init(jax.random.PRNGKey(0), dummy,
+                                   with_logits=args.logits)
+
+        def encode(frames):
+            imgs = np.stack([np.asarray(Image.open(f).convert("RGB"))
+                             for f in frames])
+            pre = preprocess_cnn_images(imgs, args.model)
+            return encode_cnn(variables, pre, model,
+                              with_logits=args.logits)
+
+    with h5py.File(args.out, "w") as hf:
+        for vid, frames in _iter_video_frames(args.frames_dir, k,
+                                              args.frame_suffix, args.limit):
+            hf.create_dataset(vid, data=encode(frames).astype(np.float32))
     print("- wrote", args.out)
 
 
@@ -230,7 +277,21 @@ def main():
 
     i = sub.add_parser("image_feats")
     i.add_argument("--frames_dir", required=True)
-    i.add_argument("--clip_ckpt", required=True)
+    i.add_argument("--model", default="clip",
+                   choices=["clip", "resnet18", "resnet34", "resnet50",
+                            "resnet101", "resnet152", "inceptionresnetv2"])
+    i.add_argument("--clip_ckpt", default="",
+                   help="OpenAI CLIP torch checkpoint (model=clip)")
+    i.add_argument("--cnn_ckpt", default="",
+                   help="torchvision/pretrainedmodels state_dict .pth "
+                        "(CNN models)")
+    i.add_argument("--logits", action="store_true",
+                   help="keep the classifier head (semantic logits feats)")
+    i.add_argument("--k", type=int, default=None,
+                   help="uniformly sample k frames per video "
+                        "(default n_total_frames; 0 = all frames)")
+    i.add_argument("--frame_suffix", default="jpg")
+    i.add_argument("--limit", type=int, default=0)
     i.add_argument("--out", required=True)
     i.set_defaults(func=cmd_image_feats)
 

@@ -138,3 +138,43 @@ def test_glove_cli(tmp_path):
     assert table.shape == (len(itow), 3)
     wtoi = {w: i for i, w in itow.items()}
     np.testing.assert_allclose(table[wtoi["man"]], [1.0, 2.0, 3.0])
+
+
+def test_image_feats_cnn_cli(tmp_path):
+    """CNN feature extraction (reference
+    ``pretreatment/extract_image_feats_from_frames.py``): frames dir ->
+    per-video HDF5 with converted torch weights, uniform-k sampling."""
+    import h5py
+    import torch
+    from PIL import Image
+    sys.path.insert(0, os.path.join(_repo(), "tests"))
+    from torch_cnn_mirror import TorchResNet
+    from test_cnn import _randomize_bn_stats
+
+    rng = np.random.RandomState(0)
+    frames_dir = tmp_path / "frames"
+    for v in range(2):
+        d = frames_dir / f"video{v}"
+        d.mkdir(parents=True)
+        for f in range(5):
+            Image.fromarray(
+                (rng.rand(64, 48, 3) * 255).astype(np.uint8)).save(
+                d / f"{f:04d}.jpg")
+
+    ckpt = tmp_path / "resnet18.pth"
+    torch.manual_seed(7)
+    torch.save(_randomize_bn_stats(TorchResNet(depth=18).eval(),
+                                   seed=7).state_dict(), str(ckpt))
+
+    out = tmp_path / "image_resnet18.hdf5"
+    r = subprocess.run(
+        [sys.executable, "pretreatment_cli.py", "image_feats",
+         "--frames_dir", str(frames_dir), "--model", "resnet18",
+         "--cnn_ckpt", str(ckpt), "--k", "3", "--out", str(out)],
+        cwd=_repo(), capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with h5py.File(out) as hf:
+        assert set(hf.keys()) == {"video0", "video1"}
+        feats = np.asarray(hf["video0"])
+    assert feats.shape == (3, 512)
+    assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
