@@ -156,11 +156,37 @@ def cmd_image_feats(args):
 
 
 def cmd_text_embs(args):
-    """Encode every reference caption -> (n_captions, d) HDF5 per video."""
+    """Encode every reference caption -> (n_captions, d) HDF5 per video,
+    with CLIP's text tower (reference ``clip_text_embs.py``) or BERT with
+    mean/max token pooling (reference ``bert_text_embs.py``)."""
     import h5py
+
+    if args.arch == "bert":
+        import torch
+        from care_tpu.pretreatment.bert import (WordPieceTokenizer,
+                                                convert_hf_bert_state_dict,
+                                                extract_text_embs)
+        assert args.bert_ckpt and args.vocab, \
+            "--bert_ckpt and --vocab are required for --arch bert"
+        sd = torch.load(args.bert_ckpt, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.float().numpy() for k, v in sd.items()
+              if hasattr(v, "numpy")}
+        variables, config = convert_hf_bert_state_dict(sd)
+        tok = WordPieceTokenizer(args.vocab)
+        with open(os.path.join(args.corpus_dir, "refs.pkl"), "rb") as f:
+            refs = pickle.load(f)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        extract_text_embs(variables, refs, tok, args.out, mode=args.mode,
+                          config=config)
+        print("- wrote", args.out)
+        return
+
     from care_tpu.pretreatment.clip import CLIPTextTransformer, encode_texts
     from care_tpu.pretreatment.bpe import ClipTokenizer
 
+    assert args.clip_ckpt, "--clip_ckpt is required for --arch clip"
     _, text_params, meta = _load_clip(args.clip_ckpt)
     model = CLIPTextTransformer(width=meta["t_width"],
                                 layers=meta["t_layers"],
@@ -297,8 +323,16 @@ def main():
 
     t = sub.add_parser("text_embs")
     t.add_argument("--corpus_dir", required=True)
-    t.add_argument("--clip_ckpt", required=True)
-    t.add_argument("--bpe", required=True)
+    t.add_argument("--arch", default="clip", choices=["clip", "bert"])
+    t.add_argument("--clip_ckpt", default="")
+    t.add_argument("--bpe", default="",
+                   help="CLIP BPE vocab (arch=clip)")
+    t.add_argument("--bert_ckpt", default="",
+                   help="HF BertModel torch state_dict .pth (arch=bert)")
+    t.add_argument("--vocab", default="",
+                   help="bert-base-uncased vocab.txt (arch=bert)")
+    t.add_argument("--mode", default="mean", choices=["mean", "max"],
+                   help="BERT token pooling (BERT.hdf5 vs BERT_max.hdf5)")
     t.add_argument("--out", required=True)
     t.set_defaults(func=cmd_text_embs)
 

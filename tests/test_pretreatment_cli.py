@@ -178,3 +178,45 @@ def test_image_feats_cnn_cli(tmp_path):
         feats = np.asarray(hf["video0"])
     assert feats.shape == (3, 512)
     assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
+
+
+def test_text_embs_bert_cli(tmp_path):
+    """BERT caption-embedding extraction (reference
+    ``pretreatment/bert_text_embs.py``): refs.pkl -> BERT.hdf5 via a local
+    vocab + converted HF state_dict."""
+    import h5py
+    import torch
+    from transformers import BertConfig, BertModel
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "a", "man", "is", "running", "dog", "##s", "play", "##ing"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+
+    torch.manual_seed(0)
+    model = BertModel(BertConfig(
+        vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32)).eval()
+    ckpt = tmp_path / "bert.pth"
+    torch.save(model.state_dict(), str(ckpt))
+
+    refs = {"video0": [{"caption": "a man is running"}],
+            "video1": [{"caption": "dogs playing"},
+                       {"caption": "a dog"}]}
+    corpus_dir = tmp_path / "MSRVTT"
+    corpus_dir.mkdir()
+    with open(corpus_dir / "refs.pkl", "wb") as f:
+        pickle.dump(refs, f)
+
+    out = tmp_path / "BERT.hdf5"
+    r = subprocess.run(
+        [sys.executable, "pretreatment_cli.py", "text_embs",
+         "--corpus_dir", str(corpus_dir), "--arch", "bert",
+         "--bert_ckpt", str(ckpt), "--vocab", str(vocab_file),
+         "--mode", "mean", "--out", str(out)],
+        cwd=_repo(), capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with h5py.File(out) as hf:
+        assert hf["video0"].shape == (1, 16)
+        assert hf["video1"].shape == (2, 16)
