@@ -231,6 +231,8 @@ _DEFAULTS = {
     "mesh_shape": None,              # e.g. {'data': 8} or {'data': 4, 'model': 2}
     "remat": False,                  # jax.checkpoint on decoder layers
     "backbone_weights": [],          # local torch state_dicts per modality
+    "resume": False,                 # save + restore sharded train state
+    "train_state_dir": "",           # default <checkpoint_path>/train_state
     "prefetch_batches": 2,           # host pipeline prefetch depth
 }
 

@@ -131,3 +131,56 @@ class CheckpointManager:
     def best_path(self) -> Optional[str]:
         p = os.path.join(self.ckpt_dir, "best.ckpt")
         return p if os.path.exists(p) else None
+
+    def state_dict(self) -> dict:
+        return {"topk": [[m, p] for m, p in self.topk]}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.topk = [(float(m), p) for m, p in state.get("topk", [])]
+
+
+class TrainStateCheckpointer:
+    """Sharded mid-run train-state save/restore (Orbax).
+
+    Beyond the reference (which has no resume): persists the full training
+    state — model variables, optax opt_state, rng stream, step/epoch
+    counters, plateau-LR and top-k bookkeeping — WITHOUT host-gathering:
+    each device writes its own shards, and restore places arrays back onto
+    the same ``NamedSharding``s the live templates carry, so multi-chip
+    runs resume without materialising the model on one host.
+    """
+
+    def __init__(self, state_dir: str, max_to_keep: int = 1):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.mngr = ocp.CheckpointManager(
+            os.path.abspath(state_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, epoch: int, state_tree: Dict[str, Any], meta: dict):
+        ocp = self._ocp
+        self.mngr.save(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state_tree),
+            meta=ocp.args.JsonSave(_jsonable(meta))))
+        self.mngr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore_meta(self, epoch: int) -> dict:
+        ocp = self._ocp
+        out = self.mngr.restore(epoch, args=ocp.args.Composite(
+            meta=ocp.args.JsonRestore()))
+        return out["meta"]
+
+    def restore_state(self, epoch: int,
+                      template: Dict[str, Any]) -> Dict[str, Any]:
+        """``template``: live pytree (same treedef); restored arrays adopt
+        the template leaves' shardings."""
+        ocp = self._ocp
+        out = self.mngr.restore(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(template)))
+        return out["state"]
+
+    def close(self):
+        self.mngr.close()

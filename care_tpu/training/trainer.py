@@ -155,6 +155,7 @@ class Trainer:
             self.opt_state = tx2.init(params)
             self._train_step_fn = None  # re-jit with the new tx
             self._switched = True
+            self._switch_offset = self.global_step  # for resume replay
 
     # ------------------------------------------------------------------
     def _make_train_step(self):
@@ -216,7 +217,11 @@ class Trainer:
         training_scales = opt.get("training_scales", {}) or {}
         rng = jax.random.PRNGKey(opt.get("seed", 0) + 1)
 
-        for epoch in range(epochs):
+        start_epoch = 0
+        if opt.get("resume"):
+            rng, start_epoch = self._try_resume(training_scales, rng)
+
+        for epoch in range(start_epoch, epochs):
             self._maybe_switch_optimizer(epoch)
             if epoch in training_scales:
                 self.criterion.set_scales(training_scales[epoch])
@@ -310,9 +315,95 @@ class Trainer:
                     self._train_step_fn = None
 
             self.ckpt_manager.on_epoch_end(epoch, self.variables, opt, scores)
+            if opt.get("resume"):
+                self._save_train_state(epoch, rng)
             print(f"- epoch {epoch}: loss={loss_meter.avg:.4f} "
                   f"{self._fmt_scores(scores)} ({epoch_time:.1f}s)")
         return self.best_scores
+
+    # ------------------------------------------------------------------
+    # mid-run resume (sharded train state; beyond the reference, which
+    # restarts from scratch — see checkpoints.TrainStateCheckpointer)
+    # ------------------------------------------------------------------
+    def _train_state_ckpt(self):
+        if getattr(self, "_ts_ckpt", None) is None:
+            from care_tpu.training.checkpoints import TrainStateCheckpointer
+            state_dir = self.opt.get("train_state_dir") or os.path.join(
+                self.opt.get("checkpoint_path", "./exps/run"), "train_state")
+            self._ts_ckpt = TrainStateCheckpointer(state_dir)
+        return self._ts_ckpt
+
+    def _save_train_state(self, epoch: int, rng):
+        meta = {"epoch": epoch, "global_step": self.global_step,
+                "switched": self._switched,
+                "switch_offset": getattr(self, "_switch_offset", 0),
+                "ckpt_manager": self.ckpt_manager.state_dict()}
+        if hasattr(self, "_plateau"):
+            meta["plateau"] = {"best": self._plateau.best,
+                               "bad_epochs": self._plateau.bad_epochs,
+                               "scale": self._plateau.scale}
+        self._train_state_ckpt().save(
+            epoch, {"variables": self.variables,
+                    "opt_state": self.opt_state, "rng": rng}, meta)
+
+    def _try_resume(self, training_scales, rng):
+        """Restore the latest epoch's train state (if any); returns the
+        (possibly restored) rng and the epoch to continue from."""
+        ts = self._train_state_ckpt()
+        latest = ts.latest_epoch()
+        if latest is None:
+            return rng, 0
+        opt = self.opt
+        meta = ts.restore_meta(latest)
+        self.global_step = int(meta["global_step"])
+
+        # replay the optimizer phase so opt_state templates line up
+        for e in range(latest + 1):
+            if e in training_scales:
+                self.criterion.set_scales(training_scales[e])
+        if meta.get("switched"):
+            params = self.variables["params"]
+            self._switch_offset = int(meta.get("switch_offset", 0))
+            self.tx = optim_lib.make_dual_adam(
+                opt, params, self.steps_per_epoch,
+                offset_steps=self._switch_offset)
+            self.opt_state = self.tx.init(params)
+            self._switched = True
+        if meta.get("plateau"):
+            from care_tpu.training.optim import PlateauController
+            self._plateau = PlateauController(opt)
+            self._plateau.best = meta["plateau"]["best"]
+            self._plateau.bad_epochs = int(meta["plateau"]["bad_epochs"])
+            self._plateau.scale = float(meta["plateau"]["scale"])
+            if self._plateau.scale != 1.0:
+                lr = self._plateau.current_lr(opt["learning_rate"])
+                self.tx = optim_lib.make_adam(opt, lambda step: lr,
+                                              self.variables["params"])
+                self.opt_state = self.tx.init(self.variables["params"])
+        self.ckpt_manager.load_state_dict(meta.get("ckpt_manager", {}))
+
+        template = {"variables": self.variables,
+                    "opt_state": self.opt_state, "rng": rng}
+        if self.mesh is not None:
+            # leaves without a mesh sharding (optax counts, rng) must come
+            # back replicated on the mesh, not committed to one device —
+            # otherwise the next jitted step sees mixed committed devices
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def _mesh_place(x):
+                if getattr(getattr(x, "sharding", None), "mesh", None) \
+                        is not None:
+                    return x
+                return jax.device_put(
+                    x, NamedSharding(self.mesh, PartitionSpec()))
+            template = jax.tree.map(_mesh_place, template)
+        restored = ts.restore_state(latest, template)
+        self.variables = restored["variables"]
+        self.opt_state = restored["opt_state"]
+        rng = restored["rng"]
+        self._train_step_fn = None
+        print(f"- resumed train state from epoch {latest}")
+        return rng, latest + 1
 
     def _fmt_scores(self, scores):
         keys = ["CIDEr", "Bleu_4", "METEOR", "ROUGE_L", "Sum"]
