@@ -666,43 +666,92 @@ class SingleLayerRNNDecoder(nn.Module):
     def __call__(self, input_ids, encoder_hidden_states, cls_head=None,
                  schedule_sampling_prob: float = 0.0,
                  deterministic: bool = True, **kwargs):
-        """Teacher-forcing loop with optional scheduled sampling
-        (reference ``RNN_single_layer.py:179-222``)."""
-        seq_len = input_ids.shape[1]
-        rnn_state = None
-        hs, probs, logits = [], [], []
-        rng = (self.make_rng("sampling")
-               if (not deterministic and schedule_sampling_prob > 0) else None)
-
-        for i in range(seq_len):
-            if i >= 1 and rng is not None:
-                rng, k1, k2 = jax.random.split(rng, 3)
-                coin = jax.random.uniform(k1, (input_ids.shape[0],))
-                sampled = jax.random.categorical(k2, logits[-1], axis=-1)
-                it = jnp.where(coin < schedule_sampling_prob, sampled,
-                               input_ids[:, i])
-            else:
-                it = input_ids[:, i]
-            out = self.forward_step(it, encoder_hidden_states, rnn_state,
-                                    deterministic=deterministic, **kwargs)
-            rnn_state = out["decoder_rnn_hidden_states"]
-            hs.append(out["hidden_states"])
-            probs.append(out["attention_probs"])
-            logits.append(cls_head(hs[-1]))
-
-        input_embs = jnp.take(self.word_embeddings, input_ids, axis=0)
-        return {
-            "hidden_states": jnp.stack(hs, axis=1),
-            "attention_probs": jnp.stack(probs, axis=2),
-            "logits": jnp.stack(logits, axis=1),
-            "sentence_embs": input_embs,
-        }
+        """Teacher-forcing scan with optional scheduled sampling
+        (reference ``RNN_single_layer.py:179-222``); see
+        :func:`_rnn_training_scan`."""
+        return _rnn_training_scan(self, input_ids, encoder_hidden_states,
+                                  cls_head, schedule_sampling_prob,
+                                  deterministic, **kwargs)
 
 
 def VOERNNDecoder(opt, name="decoder"):
     """SingleLayerRNNDecoder without the v2h/v2c init
     (reference ``RNN_single_layer.py:354-356``)."""
     return SingleLayerRNNDecoder(opt, has_v2h_v2c=False, name=name)
+
+
+def _rnn_training_scan(decoder, input_ids, encoder_hidden_states, cls_head,
+                       schedule_sampling_prob, deterministic, **kwargs):
+    """Teacher-forcing RNN training forward as ONE ``nn.scan`` over time
+    (reference ``RNN_single_layer.py:179-222`` semantics, including
+    scheduled sampling), shared by both RNN decoders.
+
+    TPU rationale: the previous python-unrolled loop emitted a ``max_len``-x
+    copy of the step graph per config — exactly the compile-surface the
+    tunnel punishes.  ``nn.scan`` compiles the step once; per-step dropout /
+    sampling rngs come from ``split_rngs``.  With scheduled sampling the
+    previous step's logits ride in the carry (``cls_head`` is invoked inside
+    the scan); in the pure teacher-forcing path logits are instead computed
+    after the scan as one batched ``[B, T, V]`` projection feeding the MXU.
+    Scheduled sampling is gated on the static ``opt`` switch
+    (``scheduled_sampling_start >= 0``), not the traced probability, so the
+    jitted train step never branches on a tracer.
+    """
+    opt = decoder.opt
+    bsz, seq_len = input_ids.shape
+    use_ss = ((not deterministic)
+              and opt.get("scheduled_sampling_start", -1) >= 0
+              and cls_head is not None)
+    state0 = decoder.init_rnn_state(encoder_hidden_states)
+    xs_ids = jnp.swapaxes(input_ids, 0, 1)        # [T, B]
+    split_rngs = {"params": False, "dropout": True, "sampling": True}
+
+    if use_ss:
+        def body(mod, carry, xs):
+            rnn_state, prev_logits = carry
+            it_teacher, first = xs
+            k1, k2 = jax.random.split(mod.make_rng("sampling"))
+            coin = jax.random.uniform(k1, (bsz,))
+            sampled = jax.random.categorical(k2, prev_logits, axis=-1)
+            it = jnp.where(first | (coin >= schedule_sampling_prob),
+                           it_teacher, sampled)
+            out = mod.forward_step(it, encoder_hidden_states, rnn_state,
+                                   deterministic=deterministic, **kwargs)
+            logits = cls_head(out["hidden_states"])
+            return ((out["decoder_rnn_hidden_states"], logits),
+                    {"hidden_states": out["hidden_states"],
+                     "attention_probs": out["attention_probs"],
+                     "logits": logits})
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs=split_rngs, in_axes=0, out_axes=0)
+        logits0 = jnp.zeros((bsz, opt["vocab_size"]))
+        _, ys = scan(decoder, (state0, logits0),
+                     (xs_ids, jnp.arange(seq_len) == 0))
+        logits = jnp.swapaxes(ys["logits"], 0, 1)
+        hidden = jnp.swapaxes(ys["hidden_states"], 0, 1)
+    else:
+        def body(mod, carry, it):
+            out = mod.forward_step(it, encoder_hidden_states, carry,
+                                   deterministic=deterministic, **kwargs)
+            return out["decoder_rnn_hidden_states"], {
+                "hidden_states": out["hidden_states"],
+                "attention_probs": out["attention_probs"]}
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs=split_rngs, in_axes=0, out_axes=0)
+        _, ys = scan(decoder, state0, xs_ids)
+        hidden = jnp.swapaxes(ys["hidden_states"], 0, 1)
+        logits = cls_head(hidden)
+
+    return {
+        "hidden_states": hidden,
+        # [T, B, ...] -> stacked-on-axis-2 layout of the unrolled loop
+        "attention_probs": jnp.moveaxis(ys["attention_probs"], 0, 2),
+        "logits": logits,
+        "sentence_embs": jnp.take(decoder.word_embeddings, input_ids,
+                                  axis=0),
+    }
 
 
 class TopDownAttentionRNNDecoder(nn.Module):
@@ -825,34 +874,9 @@ class TopDownAttentionRNNDecoder(nn.Module):
     def __call__(self, input_ids, encoder_hidden_states, cls_head=None,
                  schedule_sampling_prob: float = 0.0,
                  deterministic: bool = True, **kwargs):
-        seq_len = input_ids.shape[1]
-        rnn_state = None
-        hs, probs, logits = [], [], []
-        rng = (self.make_rng("sampling")
-               if (not deterministic and schedule_sampling_prob > 0) else None)
-        for i in range(seq_len):
-            if i >= 1 and rng is not None:
-                rng, k1, k2 = jax.random.split(rng, 3)
-                coin = jax.random.uniform(k1, (input_ids.shape[0],))
-                sampled = jax.random.categorical(k2, logits[-1], axis=-1)
-                it = jnp.where(coin < schedule_sampling_prob, sampled,
-                               input_ids[:, i])
-            else:
-                it = input_ids[:, i]
-            out = self.forward_step(it, encoder_hidden_states, rnn_state,
-                                    deterministic=deterministic, **kwargs)
-            rnn_state = out["decoder_rnn_hidden_states"]
-            hs.append(out["hidden_states"])
-            probs.append(out["attention_probs"])
-            logits.append(cls_head(hs[-1]))
-
-        input_embs = jnp.take(self.word_embeddings, input_ids, axis=0)
-        return {
-            "hidden_states": jnp.stack(hs, axis=1),
-            "attention_probs": jnp.stack(probs, axis=2),
-            "logits": jnp.stack(logits, axis=1),
-            "sentence_embs": input_embs,
-        }
+        return _rnn_training_scan(self, input_ids, encoder_hidden_states,
+                                  cls_head, schedule_sampling_prob,
+                                  deterministic, **kwargs)
 
 
 def get_decoder(opt: dict) -> nn.Module:

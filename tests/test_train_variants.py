@@ -78,3 +78,36 @@ def test_plateau_controller():
     assert c.update({"CIDEr": 0.8}) == 0.5   # second bad epoch -> decay
     assert c.update({"CIDEr": 2.0}) == 0.5   # improvement resets counter
     assert c.current_lr(1e-3) == pytest.approx(5e-4)
+
+
+@pytest.mark.parametrize("method", ["SALSTM", "TopDown"])
+def test_rnn_scheduled_sampling_jitted_step(method):
+    """The RNN training forward is one nn.scan: the jitted trainer step
+    must trace with a *traced* ss_prob (regression: the unrolled loop
+    branched on the tracer), and sampling must actually change the loss."""
+    import jax
+    from care_tpu.training.trainer import Trainer
+
+    opt = tiny_opt(method=method, vocab_size=40, beam_size=3,
+                   scheduled_sampling_start=0)
+    model, variables, batch = tiny_model_and_batch(opt)
+    tr = Trainer(opt, train_loader=None, val_loader=None, references={},
+                 vocab={})
+    tr.variables = variables
+    tr.model = model
+    tr._build_tx(2)
+    fn = tr._make_train_step()
+    b = {**batch, "labels": batch["input_ids"]}
+
+    def loss_at(ss):
+        # copy donated args (params, opt_state) so repeated calls are safe
+        out = fn(jax.tree.map(jnp.array, variables["params"]),
+                 {k: v for k, v in variables.items() if k != "params"},
+                 jax.tree.map(jnp.array, tr.opt_state), b,
+                 jax.random.PRNGKey(0), ss)
+        return float(out[3])
+
+    l0, l1 = loss_at(0.0), loss_at(1.0)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # full sampling feeds model samples instead of gold tokens -> loss moves
+    assert abs(l0 - l1) > 1e-6
