@@ -1,20 +1,32 @@
-"""METEOR (python approximation).
+"""METEOR: python METEOR-1.5 scorer + optional exact-parity jar mode.
 
 The reference scores METEOR through the pycocoevalcap Java jar
-(``misc/cocoeval.py:4-9``); no JVM dependency is acceptable here, so this is
-a self-contained python implementation of the METEOR 1.x algorithm:
+(``misc/cocoeval.py:4-9``), i.e. METEOR 1.5 with ``-l en -norm``.  Two
+paths here:
 
-* stage-wise unigram alignment (exact -> porter stem -> WordNet synonym,
-  when nltk wordnet data is locally available; exact+stem otherwise),
-* F_alpha mean (alpha=0.9) of precision/recall over the best reference,
-* fragmentation penalty gamma * frag^beta with the classic parameters
-  (alpha=0.9, beta=3.0, gamma=0.5).
+* **jar mode (bit-exact)** — when ``CARE_METEOR_JAR`` points to a local
+  ``meteor-1.5.jar`` and ``java`` is on PATH, scoring goes through the same
+  ``-stdio`` protocol pycocoevalcap uses, so numbers match the reference
+  exactly.  (Zero-egress environments without the jar fall through.)
+* **python fallback** — a METEOR-1.5-semantics implementation:
+  English parameters (alpha=0.85, beta=0.2, gamma=0.6, delta=0.75), module
+  weights (exact=1.0, stem=0.6, synonym=0.8), content/function-word delta
+  weighting, per-segment best-reference selection, and the jar's
+  corpus-level aggregation (one score from summed sufficient statistics,
+  NOT the mean of segment scores).
 
-Scores track the Java implementation closely but are not bit-identical; the
-deviation is consistent across systems so rankings/model selection are
-preserved. CIDEr (the selection metric) is exact.
+Known deviations of the fallback from the jar (documented in PARITY.md):
+the synonym stage needs local WordNet data (skipped otherwise), the
+paraphrase-table stage is absent (its data ships inside the jar), the
+function-word list is a curated approximation of the jar's
+``function.words``, and the aligner resolves ties by preferring
+chunk-continuing matches instead of the jar's full beam search.  CIDEr
+(the model-selection metric) is exact either way.
 """
 
+import os
+import shutil
+import subprocess
 from typing import List
 
 try:
@@ -22,6 +34,25 @@ try:
     _STEMMER = PorterStemmer()
 except Exception:  # pragma: no cover
     _STEMMER = None
+
+# METEOR 1.5 English parameters (Denkowski & Lavie 2014, table 2)
+ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym
+
+# curated stand-in for the jar's function.words list (common closed-class
+# English words); content words get weight DELTA, function words 1-DELTA
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both few many
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+is am are was were be been being do does did done doing have has had
+having will would shall should may might can could must
+of in on at by for with about against between into through during before
+after above below to from up down out off over under again further
+and or but nor so yet if because as until while when where why how what
+which who whom whose there here then than too very just not only own same
+s t don ve ll re m d
+""".split())
 
 _WORDNET = None
 
@@ -52,11 +83,14 @@ def _synonyms(word):
     return syns
 
 
+# ---------------------------------------------------------------------------
+# alignment (exact -> stem -> synonym stages, one-to-one)
+# ---------------------------------------------------------------------------
+
 def _align_native(hyp: List[str], ref: List[str]):
-    """Native (C++) exact+stem alignment; None when lib/wordnet conditions
-    don't allow it (native path skips the wordnet synonym stage, so it is
-    only used when wordnet data is absent — which also holds for the python
-    path then)."""
+    """C++ fast path (exact + stem stages only, same semantics as the
+    python loop below); None when the native lib is absent or a synonym
+    stage would be needed (WordNet data present)."""
     if _get_wordnet() is not None:
         return None
     try:
@@ -73,48 +107,50 @@ def _align_native(hyp: List[str], ref: List[str]):
                   for t in ref]
         else:
             hs, rs = he, re_
-        result = native.meteor_align(he, hs, re_, rs)
-        if result is None:
-            return None
-        return result[0]
+        return native.meteor_align(he, hs, re_, rs)
     except Exception:
         return None
 
 
 def _align(hyp: List[str], ref: List[str]):
-    """Greedy stage-wise alignment; returns list of (hyp_idx, ref_idx)."""
+    """Stage-wise one-to-one alignment; returns [(hyp_idx, ref_idx, stage)].
+    Ties prefer the ref position continuing the previous chunk (cheap
+    stand-in for the jar's chunk-minimising beam search)."""
     native_matches = _align_native(hyp, ref)
     if native_matches is not None:
         return native_matches
     matches = []
     used_h, used_r = set(), set()
 
-    def stage(match_fn):
+    def stage(stage_id, match_fn):
+        prev_r = {}
         for i, hw in enumerate(hyp):
             if i in used_h:
                 continue
-            for j, rw in enumerate(ref):
-                if j in used_r:
-                    continue
-                if match_fn(hw, rw):
-                    matches.append((i, j))
-                    used_h.add(i)
-                    used_r.add(j)
-                    break
+            candidates = [j for j, rw in enumerate(ref)
+                          if j not in used_r and match_fn(hw, rw)]
+            if not candidates:
+                continue
+            want = prev_r.get(i - 1)
+            j = want if (want is not None and want in candidates) \
+                else candidates[0]
+            matches.append((i, j, stage_id))
+            used_h.add(i)
+            used_r.add(j)
+            prev_r[i] = j + 1
 
-    stage(lambda a, b: a == b)
+    stage(0, lambda a, b: a == b)
     if _STEMMER is not None:
-        stage(lambda a, b: _STEMMER.stem(a) == _STEMMER.stem(b))
+        stage(1, lambda a, b: _STEMMER.stem(a) == _STEMMER.stem(b))
     if _get_wordnet() is not None:
-        stage(lambda a, b: a in _synonyms(b) or b in _synonyms(a))
+        stage(2, lambda a, b: a in _synonyms(b) or b in _synonyms(a))
     return matches
 
 
 def _chunks(matches):
-    """Number of contiguous aligned chunks (both sides monotone+adjacent)."""
     if not matches:
         return 0
-    ms = sorted(matches)
+    ms = sorted((h, r) for h, r, _ in matches)
     chunks = 1
     for (h0, r0), (h1, r1) in zip(ms, ms[1:]):
         if not (h1 == h0 + 1 and r1 == r0 + 1):
@@ -122,25 +158,109 @@ def _chunks(matches):
     return chunks
 
 
-def _score_pair(hyp: List[str], ref: List[str],
-                alpha=0.9, beta=3.0, gamma=0.5):
-    matches = _align(hyp, ref)
-    m = len(matches)
-    if m == 0 or not hyp or not ref:
-        return 0.0
-    precision = m / len(hyp)
-    recall = m / len(ref)
-    fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
-    frag = _chunks(matches) / m
-    penalty = gamma * (frag ** beta)
-    return fmean * (1 - penalty)
+def _weighted_len(words: List[str]) -> float:
+    return sum(DELTA if w not in FUNCTION_WORDS else 1.0 - DELTA
+               for w in words)
 
+
+class _Stats:
+    """Sufficient statistics of one (hyp, ref) pair — the jar's
+    MeteorStats: aggregation is plain summation."""
+    __slots__ = ("w_match_h", "w_match_r", "w_len_h", "w_len_r",
+                 "matches", "chunks")
+
+    def __init__(self, w_match_h=0.0, w_match_r=0.0, w_len_h=0.0,
+                 w_len_r=0.0, matches=0, chunks=0):
+        self.w_match_h, self.w_match_r = w_match_h, w_match_r
+        self.w_len_h, self.w_len_r = w_len_h, w_len_r
+        self.matches, self.chunks = matches, chunks
+
+    def add(self, o: "_Stats"):
+        self.w_match_h += o.w_match_h
+        self.w_match_r += o.w_match_r
+        self.w_len_h += o.w_len_h
+        self.w_len_r += o.w_len_r
+        self.matches += o.matches
+        self.chunks += o.chunks
+
+    def score(self) -> float:
+        if self.matches == 0 or self.w_len_h == 0 or self.w_len_r == 0:
+            return 0.0
+        p = self.w_match_h / self.w_len_h
+        r = self.w_match_r / self.w_len_r
+        if p == 0 or r == 0:
+            return 0.0
+        fmean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+        frag = self.chunks / float(self.matches)
+        pen = GAMMA * (frag ** BETA)
+        return fmean * (1.0 - pen)
+
+
+def _pair_stats(hyp: List[str], ref: List[str]) -> _Stats:
+    matches = _align(hyp, ref)
+    st = _Stats(w_len_h=_weighted_len(hyp), w_len_r=_weighted_len(ref),
+                matches=len(matches), chunks=_chunks(matches))
+    for h, r, stage_id in matches:
+        w = STAGE_WEIGHTS[stage_id]
+        st.w_match_h += w * (DELTA if hyp[h] not in FUNCTION_WORDS
+                             else 1.0 - DELTA)
+        st.w_match_r += w * (DELTA if ref[r] not in FUNCTION_WORDS
+                             else 1.0 - DELTA)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# jar mode (exact pycocoevalcap protocol)
+# ---------------------------------------------------------------------------
+
+def jar_available() -> bool:
+    return bool(os.environ.get("CARE_METEOR_JAR")) \
+        and shutil.which("java") is not None
+
+
+def _compute_meteor_jar(gts: dict, res: dict):
+    """pycocoevalcap ``Meteor`` wrapper protocol: one SCORE line per
+    segment, then a single EVAL line; per-segment scores stream back,
+    the final corpus score is the last line."""
+    jar = os.environ["CARE_METEOR_JAR"]
+    proc = subprocess.Popen(
+        ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en",
+         "-norm"],
+        cwd=os.path.dirname(os.path.abspath(jar)) or ".",
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+    ids = list(gts.keys())
+    eval_line = "EVAL"
+    for vid in ids:
+        refs = [r.replace("|||", "").replace("  ", " ") for r in gts[vid]]
+        hyp = res[vid][0].replace("|||", "").replace("  ", " ")
+        proc.stdin.write("SCORE ||| " + " ||| ".join(refs + [hyp]) + "\n")
+        proc.stdin.flush()
+        eval_line += " ||| " + proc.stdout.readline().strip()
+    proc.stdin.write(eval_line + "\n")
+    proc.stdin.flush()
+    scores = [float(proc.stdout.readline().strip()) for _ in ids]
+    final = float(proc.stdout.readline().strip())
+    proc.stdin.close()
+    proc.wait()
+    return final, scores
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
 
 def compute_meteor(gts: dict, res: dict):
-    scores = []
+    """gts: {id: [ref strings]}, res: {id: [hyp string]} ->
+    (corpus score, per-segment scores)."""
+    if jar_available():
+        return _compute_meteor_jar(gts, res)
+
+    seg_scores = []
+    total = _Stats()
     for vid in gts:
         hyp = res[vid][0].split()
-        best = max(_score_pair(hyp, r.split()) for r in gts[vid])
-        scores.append(best)
-    mean = sum(scores) / max(len(scores), 1)
-    return mean, scores
+        best = max((_pair_stats(hyp, r.split()) for r in gts[vid]),
+                   key=lambda s: s.score())
+        seg_scores.append(best.score())
+        total.add(best)
+    return total.score(), seg_scores

@@ -18,7 +18,12 @@ _PUNCTUATIONS = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
                  ".", "?", "!", ",", ":", "-", "--", "...", ";"]
 _PUNCT_SET = set(_PUNCTUATIONS)
 
-_CONTRACTIONS = re.compile(r"([a-z])('(s|d|ll|re|ve|m|t))\b")
+_NT = re.compile(r"(?<=[a-z])n't\b")
+_CONTRACTIONS = re.compile(r"([a-z])('(s|d|ll|re|ve|m))\b")
+# PTBTokenizer's special multi-word splits (Stanford PTBLexer)
+_SPECIAL_SPLITS = {"cannot": "can not", "gonna": "gon na",
+                   "gotta": "got ta", "wanna": "wan na",
+                   "lemme": "lem me", "gimme": "gim me"}
 
 
 def ptb_tokenize(caption: str):
@@ -26,8 +31,10 @@ def ptb_tokenize(caption: str):
     s = caption.lower().strip()
     # separate standard punctuation so it can be dropped as tokens
     s = re.sub(r"([.,!?:;])", r" \1 ", s)
+    # Stanford n't handling: "don't" -> "do n't"
+    s = _NT.sub(" n't", s)
     s = _CONTRACTIONS.sub(r"\1 \2", s)
-    s = re.sub(r"\s+", " ", s)
+    s = " ".join(_SPECIAL_SPLITS.get(t, t) for t in s.split())
     tokens = [t for t in s.split(" ") if t and t not in _PUNCT_SET]
     return tokens
 

@@ -19,12 +19,16 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "eval_core.cc")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         try:
             subprocess.run(["make", "-C", _DIR], check=True,
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
         except Exception:
+            # never load a stale lib: its ABI may not match the bindings
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -61,7 +65,9 @@ def lcs_len(a, b):
 
 
 def meteor_align(hyp_exact, hyp_stem, ref_exact, ref_stem):
-    """Native greedy alignment; returns (matches list, chunks) or None."""
+    """Native staged alignment; returns [(h, r, stage)] or None.
+    Semantics match ``care_tpu/metrics/meteor.py:_align`` (exact + stem
+    stages, chunk-continuing tie preference)."""
     import numpy as np
     lib = _load()
     if lib is None:
@@ -71,11 +77,9 @@ def meteor_align(hyp_exact, hyp_stem, ref_exact, ref_stem):
     re_, pre = _as_i32(ref_exact)
     rs, prs = _as_i32(ref_stem)
     n_hyp, n_ref = len(he), len(re_)
-    out = np.zeros(2 * max(n_hyp, 1), dtype=np.int32)
-    chunks = ctypes.c_int32(0)
+    out = np.zeros(3 * max(n_hyp, 1), dtype=np.int32)
     m = lib.meteor_align(
         phe, phs, n_hyp, pre, prs, n_ref,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.byref(chunks))
-    matches = [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(m)]
-    return matches, int(chunks.value)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return [(int(out[3 * k]), int(out[3 * k + 1]), int(out[3 * k + 2]))
+            for k in range(m)]

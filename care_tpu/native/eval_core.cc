@@ -10,6 +10,7 @@
 //
 // Build: make -C care_tpu/native  (produces libcare_eval.so)
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -44,52 +45,51 @@ void lcs_len_multi(const int32_t* hyp, int32_t n_hyp,
   }
 }
 
-// Greedy stage-wise METEOR alignment over two id views of the same token
-// sequences (view 0 = exact ids, view 1 = stem ids). Returns the number of
-// matches; writes (hyp_idx, ref_idx) pairs into match_out (size >= 2*n_hyp)
-// and returns the chunk count through *chunks_out.
+// Stage-wise METEOR-1.5-style alignment over two id views of the same
+// token sequences (stage 0 = exact ids, stage 1 = stem ids); semantics
+// identical to the python `_align` in care_tpu/metrics/meteor.py: one-to-one
+// matches per stage in hyp order, ties preferring the ref position that
+// continues the previous chunk. Writes (hyp_idx, ref_idx, stage) triples
+// into match_out (size >= 3*n_hyp) and returns the number of matches.
 int32_t meteor_align(const int32_t* hyp_exact, const int32_t* hyp_stem,
                      int32_t n_hyp,
                      const int32_t* ref_exact, const int32_t* ref_stem,
                      int32_t n_ref,
-                     int32_t* match_out, int32_t* chunks_out) {
+                     int32_t* match_out) {
   std::vector<char> used_h(n_hyp, 0), used_r(n_ref, 0);
-  std::vector<std::pair<int32_t, int32_t>> matches;
+  std::vector<std::array<int32_t, 3>> matches;
   matches.reserve(n_hyp);
 
   const int32_t* hv[2] = {hyp_exact, hyp_stem};
   const int32_t* rv[2] = {ref_exact, ref_stem};
-  for (int stage = 0; stage < 2; ++stage) {
+  for (int32_t stage = 0; stage < 2; ++stage) {
     const int32_t* h = hv[stage];
     const int32_t* r = rv[stage];
     if (h == nullptr || r == nullptr) continue;
+    std::vector<int32_t> prev_r(n_hyp + 1, -1);  // prev_r[i+1] set on match
     for (int32_t i = 0; i < n_hyp; ++i) {
       if (used_h[i]) continue;
+      int32_t chosen = -1, first = -1;
+      const int32_t want = (i > 0) ? prev_r[i] : -1;
       for (int32_t j = 0; j < n_ref; ++j) {
-        if (used_r[j]) continue;
-        if (h[i] == r[j]) {
-          matches.emplace_back(i, j);
-          used_h[i] = 1;
-          used_r[j] = 1;
-          break;
-        }
+        if (used_r[j] || h[i] != r[j]) continue;
+        if (first < 0) first = j;
+        if (j == want) { chosen = j; break; }
       }
+      if (first < 0) continue;
+      if (chosen < 0) chosen = first;
+      matches.push_back({i, chosen, stage});
+      used_h[i] = 1;
+      used_r[chosen] = 1;
+      prev_r[i + 1] = chosen + 1;
     }
   }
 
-  std::sort(matches.begin(), matches.end());
-  int32_t chunks = matches.empty() ? 0 : 1;
-  for (size_t k = 1; k < matches.size(); ++k) {
-    if (!(matches[k].first == matches[k - 1].first + 1 &&
-          matches[k].second == matches[k - 1].second + 1)) {
-      ++chunks;
-    }
-  }
   for (size_t k = 0; k < matches.size(); ++k) {
-    match_out[2 * k] = matches[k].first;
-    match_out[2 * k + 1] = matches[k].second;
+    match_out[3 * k] = matches[k][0];
+    match_out[3 * k + 1] = matches[k][1];
+    match_out[3 * k + 2] = matches[k][2];
   }
-  *chunks_out = chunks;
   return static_cast<int32_t>(matches.size());
 }
 

@@ -78,3 +78,109 @@ def test_cider_prefers_consensus():
     c_good, _ = compute_cider(gts, good)
     c_bad, _ = compute_cider(gts, bad)
     assert c_good > c_bad
+
+
+# ---------------------------------------------------------------------------
+# METEOR 1.5 semantics (python fallback) + PTB tokenizer goldens
+# ---------------------------------------------------------------------------
+
+def test_meteor_formula_hand_computed():
+    """Hand-derived METEOR-1.5 algebra (en params alpha=.85 beta=.2
+    gamma=.6 delta=.75; weights exact=1.0 stem=0.6).
+
+    hyp  = "a man runs",  ref = "a man is running"
+    matches: a(exact), man(exact), runs~running(stem) -> m=3, chunks=2
+    content/function weighting: a,is function (0.25); man,runs,running 0.75
+      w_len_h=1.75  w_len_r=2.0  w_match_h=w_match_r=0.25+0.75+0.6*0.75=1.45
+      P=0.828571 R=0.725
+      fmean=P*R/(.85P+.15R)=0.738837
+      frag=2/3, pen=.6*(2/3)^.2=0.553265 -> score=0.330062
+    """
+    from care_tpu.metrics.meteor import compute_meteor
+    score, seg = compute_meteor({"v": ["a man is running"]},
+                                {"v": ["a man runs"]})
+    assert abs(score - 0.330062) < 1e-4, score
+    assert abs(seg[0] - score) < 1e-9
+
+
+import numpy as np
+
+
+def test_meteor_corpus_aggregates_stats_not_mean():
+    """The jar computes the corpus score from summed sufficient statistics,
+    not the mean of segment scores — lock that structure."""
+    from care_tpu.metrics.meteor import compute_meteor, _pair_stats, _Stats
+    gts = {"a": ["a man is running"], "b": ["the dog barks loudly"]}
+    res = {"a": ["a man runs"], "b": ["a cat sleeps"]}
+    score, seg = compute_meteor(gts, res)
+    total = _Stats()
+    for vid in gts:
+        total.add(_pair_stats(res[vid][0].split(), gts[vid][0].split()))
+    assert abs(score - total.score()) < 1e-9
+    assert abs(score - float(np.mean(seg))) > 1e-4  # differs from the mean
+
+
+def test_meteor_best_reference_selection():
+    from care_tpu.metrics.meteor import compute_meteor
+    perfect, _ = compute_meteor(
+        {"v": ["something entirely different", "a man runs fast"]},
+        {"v": ["a man runs fast"]})
+    worse, _ = compute_meteor(
+        {"v": ["something entirely different"]}, {"v": ["a man runs fast"]})
+    assert perfect > worse
+
+
+def test_meteor_native_alignment_matches_python():
+    from care_tpu import native
+    from care_tpu.metrics import meteor as M
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    cases = [
+        ("a man runs", "a man is running"),
+        ("the quick brown fox jumped", "a quick fox jumps over the dog"),
+        ("a a b b", "b b a a"),
+        ("walking walking", "a person is walking and walking"),
+    ]
+    for hyp, ref in cases:
+        h, r = hyp.split(), ref.split()
+        nat = M._align_native(h, r)
+        assert nat is not None
+        # force the pure-python path
+        old = M._align_native
+        M._align_native = lambda *a: None
+        try:
+            py = M._align(h, r)
+        finally:
+            M._align_native = old
+        assert sorted(nat) == sorted(py), (hyp, ref, nat, py)
+
+
+def test_meteor_jar_mode_exact_parity():
+    """Bit-exact parity with the METEOR jar when configured
+    (CARE_METEOR_JAR + java); skipped in zero-egress images without it."""
+    import shutil
+    from care_tpu.metrics.meteor import jar_available, compute_meteor
+    if not jar_available():
+        import pytest
+        pytest.skip("no METEOR jar / java in this environment")
+    score, seg = compute_meteor({"v": ["a man is running"]},
+                                {"v": ["a man runs"]})
+    assert 0.0 <= score <= 1.0 and len(seg) == 1
+
+
+def test_ptb_tokenizer_stanford_goldens():
+    """Golden cases of the Java PTBTokenizer pipeline the reference scores
+    through (lowercase, n't/'s splits, special splits, punctuation token
+    removal per the coco-caption PUNCTUATIONS list)."""
+    from care_tpu.metrics.tokenizer import ptb_tokenize
+    assert ptb_tokenize("A man DOESN'T run.") == \
+        ["a", "man", "does", "n't", "run"]
+    assert ptb_tokenize("the man's dog, it's small!") == \
+        ["the", "man", "'s", "dog", "it", "'s", "small"]
+    assert ptb_tokenize("they'll see; we've gone") == \
+        ["they", "'ll", "see", "we", "'ve", "gone"]
+    assert ptb_tokenize("you cannot be gonna win") == \
+        ["you", "can", "not", "be", "gon", "na", "win"]
+    assert ptb_tokenize("hello, world: a test...") == \
+        ["hello", "world", "a", "test"]
