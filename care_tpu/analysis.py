@@ -6,7 +6,9 @@
 * ``retrieval_robustness_sweep``: evaluate a model across corrupted
   retrieval databases (``--retrieval_db_ratio`` protocol,
   reference ``scripts/retrieval_db_ratio.sh``);
-* ``concept_usage``: which predicted concepts appear in generated captions.
+* ``concept_usage``: which predicted concepts appear in generated captions;
+* ``topic_classification_probe``: SVM probe of the GSG latent topic vector
+  (the reference's MSRVTT_topic_classification_SVM notebook).
 """
 
 from typing import Any, Dict, List
@@ -91,3 +93,46 @@ def retrieval_robustness_sweep(checkpoint_path: str, ratios=(0.1, 1, 10, 100),
         scores, _ = scorer.score(refs, preds, list(preds.keys()))
         results[ratio] = scores
     return results
+
+
+def topic_classification_probe(model, variables, loader, categories,
+                               n_train: int, use_latent: bool = True,
+                               seed: int = 0) -> Dict[str, float]:
+    """SVM topic-classification probe (reference
+    ``notebooks/MSRVTT_topic_classification_SVM.ipynb``): does the GSG
+    latent topic vector carry category information?
+
+    Encodes every video (``loader`` must iterate the 'all' split unshuffled
+    in video order), takes the GSG latent (``semantic_hidden_states``,
+    GSG on) or the mean semantic embedding (``semantic_embs``, GSG off),
+    fits an RBF SVC on the first ``n_train`` videos' categories, and
+    reports test accuracy vs a random-guess baseline.
+    """
+    import jax.numpy as jnp
+    from sklearn.svm import SVC
+    from care_tpu.models.framework import Captioner
+
+    feats_list = []
+    for batch in loader:
+        feats = [jnp.asarray(f) for f in batch["feats"]]
+        out = model.apply(variables, feats,
+                          method=Captioner.encoding_phase)
+        x = (out["semantic_hidden_states"] if use_latent
+             else out["semantic_embs"].mean(axis=1))
+        feats_list.append(np.asarray(x))
+    x = np.concatenate(feats_list, axis=0)
+    y = np.asarray(categories)
+    assert x.shape[0] == y.shape[0], (x.shape, y.shape)
+
+    train_x, test_x = x[:n_train], x[n_train:]
+    train_y, test_y = y[:n_train], y[n_train:]
+    svc = SVC(random_state=seed, kernel="rbf")
+    svc.fit(train_x, train_y)
+    acc = float((svc.predict(test_x) == test_y).mean() * 100)
+
+    rng = np.random.RandomState(seed)
+    n_classes = int(y.max()) + 1
+    rand_acc = float(
+        (rng.randint(0, n_classes, test_y.shape) == test_y).mean() * 100)
+    return {"accuracy": acc, "random_accuracy": rand_acc,
+            "n_train": int(n_train), "n_test": int(len(test_y))}

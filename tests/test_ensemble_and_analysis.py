@@ -73,3 +73,36 @@ def test_concept_usage():
     itow = {6: "man", 7: "dog"}
     out = concept_usage(preds, labels, ["video0"], itow)
     assert out["concept_word_ratio"] == pytest.approx(0.5)
+
+
+def test_topic_classification_probe():
+    """SVM probe over GSG latents (reference MSRVTT SVM notebook): runs on
+    both the G1 (latent topic vector) and mean-semantic-embs paths and
+    separates categories when the features carry them."""
+    import numpy as np
+    from care_tpu.analysis import topic_classification_probe
+
+    opt = tiny_opt(task="CARE", decoder_modality_flags="V",
+                   predictor_modality_flags="V", vocab_size=40)
+    assert "emb" in opt["use_attr_type"]
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=8)
+
+    class OneBatchLoader:
+        def __iter__(self):
+            yield {"feats": batch["feats"]}
+
+    cats = np.asarray([0, 1] * 4)
+    for use_latent in (True, False):
+        out = topic_classification_probe(model, variables, OneBatchLoader(),
+                                         cats, n_train=6,
+                                         use_latent=use_latent)
+        assert 0.0 <= out["accuracy"] <= 100.0
+        assert out["n_train"] == 6 and out["n_test"] == 2
+
+    # sanity: with features that ARE the category, the probe is perfect
+    from sklearn.svm import SVC
+    rs = np.random.RandomState(0)
+    y = rs.randint(0, 4, 60)
+    x = np.eye(4)[y] + 0.01 * rs.randn(60, 4)
+    svc = SVC(random_state=0, kernel="rbf").fit(x[:40], y[:40])
+    assert (svc.predict(x[40:]) == y[40:]).mean() == 1.0

@@ -111,3 +111,45 @@ def test_rnn_scheduled_sampling_jitted_step(method):
     assert np.isfinite(l0) and np.isfinite(l1)
     # full sampling feeds model samples instead of gold tokens -> loss moves
     assert abs(l0 - l1) > 1e-6
+
+
+def test_plateau_rebuild_preserves_adam_moments(tmp_path):
+    """When the plateau controller scales the LR, the trainer rebuilds the
+    optimizer chain but keeps the live opt_state — Adam moments and the
+    step count must carry across the rebuild (PARITY.md claim)."""
+    import jax
+    import optax
+    from care_tpu.data import get_loader
+    from care_tpu.training.trainer import Trainer
+
+    opt, corpus, refs = make_synthetic_env(
+        tmp_path, extra={"epochs": 3,
+                         "final_overrides": {"lr_scheduler_type": "plateau",
+                                             "lr_monitor_patience": 0,
+                                             "lr_decay": 0.5}})
+    train_loader = get_loader(opt, "train")
+    tr = Trainer(opt, train_loader=train_loader, val_loader=None,
+                 references=refs, vocab=corpus["info"]["itow"])
+
+    # strictly decreasing fake validation scores -> scale drops every
+    # epoch after the first
+    scripted = iter([{"CIDEr": 1.0}, {"CIDEr": 0.5}, {"CIDEr": 0.2}])
+    tr.val_loader = object()  # truthy so fit() calls validate
+    tr.validate = lambda epoch: next(scripted)
+
+    tr.fit()
+    assert tr._plateau.scale == pytest.approx(0.25)
+
+    adam_states = [s for s in jax.tree.leaves(
+        tr.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states, "no adam state found"
+    total_steps = 3 * len(train_loader)
+    for s in adam_states:
+        # count kept accumulating across both LR rebuilds...
+        assert int(s.count) == total_steps
+        # ...and the second moments are warm, not re-initialised
+        nu_norm = sum(float(jnp.sum(jnp.abs(l)))
+                      for l in jax.tree.leaves(s.nu))
+        assert nu_norm > 0
