@@ -1,27 +1,35 @@
 """Benchmark: captions/sec at beam=5 on the flagship CARE model, one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-``vs_baseline`` compares against the *reference execution model* measured on
-the SAME chip: the reference's ``Translator_ARFormer`` recomputes the full
-prefix every beam step with per-instance python ``Beam`` objects
-(``models/Translator.py:91-133``, no KV cache); we time that exact strategy
-(full-forward-per-step + host-side beam bookkeeping) against our fused
-fixed-shape KV-cache beam. This is the honest apples-to-apples ratio of the
-two execution models; the reference publishes no absolute numbers
-(BASELINE.md).
+Honest methodology (round-2 upgrade):
 
-The baseline measurement is expensive to compile (the TPU tunnel makes
-every XLA compile minutes-slow), so its result is cached in
-``.bench_baseline.json`` after the first successful run; delete that file
-(or set BENCH_REMEASURE_BASELINE=1) to re-measure.
+* ``vs_baseline`` is a SAME-BATCH ratio: our fused KV-cache beam at batch 8
+  vs the *reference execution model* at batch 8 on the same chip.  The
+  reference's ``Translator_ARFormer`` recomputes the full prefix every beam
+  step with per-instance python ``Beam`` objects
+  (``models/Translator.py:91-133``, no KV cache); we time that exact
+  strategy.  The reference publishes no absolute numbers (BASELINE.md).
+* the headline value is serving throughput at batch 64 with depth-2 async
+  dispatch (the next batch is enqueued before the previous is drained),
+  which amortises the axon runtime's fixed per-program-call overhead
+  (~90 ms, measured in round 1 — an RPC/dispatch floor, not device time).
+  The synchronous per-batch number is reported alongside in ``detail``.
+* ``detail.mfu_*`` reports model-FLOPs utilisation: an analytic FLOPs
+  count per fused decode call (XLA's cost_analysis is also reported but
+  only as a lower bound — it counts the beam while_loop body once) divided
+  by measured time and the chip's bf16 peak.  ``tokens_per_s`` is the
+  matching decode-token rate (B x beam x (max_len-1) per call).
+
+Baseline measurement is compile-expensive on the tunnel, so it is cached
+in ``.bench_baseline.json``; delete it (or BENCH_REMEASURE_BASELINE=1) to
+re-measure.
 """
 
 import json
 import os
 import time
 
-# persistent compilation cache (helps when compiles run locally)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -32,16 +40,80 @@ import jax.numpy as jnp
 _BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_baseline.json")
 
+# dense peak FLOP/s per chip (bf16), by device_kind substring
+_PEAK_BF16 = [
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+]
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _build_decode_fn(translator, models, batch):
+    """Compile the translator's fused decode program ahead-of-time and
+    return (compiled_callable, args, flops_per_call)."""
+    is_rnn = "rnn" in translator.opt["decoder"].lower()
+    batch_aux = translator._batch_inputs(batch)
+    fn = translator._build_fn(models, tuple(sorted(batch_aux)), is_rnn)
+    all_variables = [v for _, v in models]
+    args = (all_variables, batch["feats"], batch_aux)
+    lowered = fn.lower(*args)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return compiled, args, flops
+
+
+def _analytic_flops_per_call(variables, opt, batch_size, beam) -> float:
+    """Analytic model-FLOPs per decode call: 2 FLOPs per dense-kernel
+    weight per processed token.  XLA's cost_analysis counts the beam
+    while_loop body ONCE (trip count is dynamic), so it is only a lower
+    bound; this estimate restores the per-step multiplicity.  Decode side:
+    rows = B x beam, steps = max_len-1, decoder+head kernels + attention
+    score/value products; encode side: encoder+predictor kernels over
+    B x n_frames tokens."""
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(variables.get("params", variables))
+
+    def kernel_params(prefix):
+        return sum(int(np.prod(v.shape)) for k, v in flat.items()
+                   if k and k[0] == prefix and k[-1] == "kernel"
+                   and getattr(v, "ndim", 0) >= 2)
+
+    d = opt["dim_hidden"]
+    n_layers = opt.get("num_hidden_layers_decoder", 1)
+    n_mod = len(opt.get("modality_for_decoder") or opt["modality"])
+    l_cross = opt["n_frames"] * n_mod + opt.get("use_attr_topk", 30)
+    rows = batch_size * beam
+    steps = opt["max_len"] - 1
+    per_row_step = (2 * (kernel_params("decoder") + kernel_params("cls_head"))
+                    + n_layers * 4 * (opt["max_len"] + l_cross) * d)
+    enc_tokens = batch_size * opt["n_frames"] * n_mod
+    encode = 2 * (kernel_params("encoder") + kernel_params("predictor")) \
+        * enc_tokens // max(n_mod, 1)
+    return float(encode + per_row_step * rows * steps)
+
 
 def main():
     from __graft_entry__ import _flagship_opt, _synthetic_batch
     from care_tpu.models import build_captioner
     from care_tpu.decoding import get_translator
 
-    BATCH = 64
-    BEAM = 5
-    N_WARM = 2
-    N_ITER = 5
+    BATCH, SMALL_BATCH, BEAM = 64, 8, 5
+    N_WARM, N_ITER = 2, 5
 
     opt = _flagship_opt()
     opt["beam_size"] = BEAM
@@ -54,32 +126,62 @@ def main():
              "input_ids": batch["input_ids"][:1]}
     variables = model.init({"params": rng, "dropout": rng}, small,
                            deterministic=True)
-
+    models = [(model, variables)]
     translator = get_translator(opt)
 
-    def run_ours():
-        hyps, scores = translator.translate_batch([(model, variables)],
-                                                  {"feats": batch["feats"]})
-        return hyps
+    # ---- batch-64: one fused program, AOT-compiled --------------------
+    compiled64, args64, flops64 = _build_decode_fn(translator, models, batch)
+
+    def _drain(out):
+        # the axon tunnel's block_until_ready returns before execution
+        # finishes (async handles); a host fetch is the true sync point.
+        # Outputs are tiny (token ids + scores), so this costs ~nothing.
+        return [np.asarray(o) for o in out]
+
+    def run_sync():
+        return _drain(compiled64(*args64))
 
     for _ in range(N_WARM):
-        run_ours()
+        run_sync()
     t0 = time.perf_counter()
     for _ in range(N_ITER):
-        run_ours()
-    ours_time = (time.perf_counter() - t0) / N_ITER
-    ours_cps = BATCH / ours_time
+        run_sync()
+    sync_time = (time.perf_counter() - t0) / N_ITER
+    sync_cps = BATCH / sync_time
 
-    # ---- reference execution model on the same chip -------------------
-    device_name = str(jax.devices()[0])
-    ref_cps = None
-    baseline_source = "measured"
+    # depth-2 pipelined dispatch: enqueue ahead, drain behind — hides the
+    # fixed per-call runtime overhead that dominates small batches
+    t0 = time.perf_counter()
+    pending = []
+    for _ in range(N_ITER):
+        pending.append(compiled64(*args64))
+        if len(pending) > 2:
+            _drain(pending.pop(0))
+    for out in pending:
+        _drain(out)
+    pipe_time = (time.perf_counter() - t0) / N_ITER
+    pipe_cps = BATCH / pipe_time
+
+    # ---- batch-8 (same batch as the cached reference measurement) -----
+    batch8 = {"feats": [f[:SMALL_BATCH] for f in batch["feats"]]}
+    compiled8, args8, _ = _build_decode_fn(translator, models, batch8)
+    _drain(compiled8(*args8))
+    t0 = time.perf_counter()
+    for _ in range(N_ITER):
+        _drain(compiled8(*args8))
+    ours8_cps = SMALL_BATCH / ((time.perf_counter() - t0) / N_ITER)
+
+    # ---- reference execution model at batch 8 on the same chip --------
+    device = jax.devices()[0]
+    device_name = str(device)
+    ref_cps, baseline_source = None, "measured"
     if (os.path.exists(_BASELINE_CACHE)
             and not os.environ.get("BENCH_REMEASURE_BASELINE")):
         try:
             with open(_BASELINE_CACHE) as f:
                 cached = json.load(f)
-            if cached.get("device") == device_name:
+            if cached.get("device") == device_name \
+                    and cached.get("batch") == SMALL_BATCH:
                 ref_cps = cached["caps_per_s"]
                 baseline_source = "cached"
         except Exception:
@@ -87,28 +189,47 @@ def main():
 
     if ref_cps is None:
         from tests_support_reference_beam import reference_style_decode
-        ref_batch = 8
-        small_feats = [f[:ref_batch] for f in batch["feats"]]
-        t_ref = reference_style_decode(model, variables, small_feats, opt,
+        t_ref = reference_style_decode(model, variables,
+                                       batch8["feats"], opt,
                                        beam_size=BEAM, n_warm=1, n_iter=2)
-        ref_cps = ref_batch / t_ref
+        ref_cps = SMALL_BATCH / t_ref
         try:
             with open(_BASELINE_CACHE, "w") as f:
                 json.dump({"caps_per_s": ref_cps, "device": device_name,
-                           "batch": ref_batch, "beam": BEAM}, f)
+                           "batch": SMALL_BATCH, "beam": BEAM}, f)
         except Exception:
             pass
 
+    # ---- MFU / tokens ------------------------------------------------
+    peak = _peak_flops(device)
+    flops_analytic = _analytic_flops_per_call(variables, opt, BATCH, BEAM)
+    mfu_sync = (flops_analytic / sync_time / peak) if peak else None
+    mfu_pipe = (flops_analytic / pipe_time / peak) if peak else None
+    decode_tokens = BATCH * BEAM * (opt["max_len"] - 1)
+
     result = {
         "metric": "captions_per_sec_beam5",
-        "value": round(ours_cps, 2),
+        "value": round(pipe_cps, 2),
         "unit": "captions/s/chip",
-        "vs_baseline": round(ours_cps / ref_cps, 2),
+        # same-batch, same-chip execution-model ratio (batch 8 vs batch 8)
+        "vs_baseline": round(ours8_cps / ref_cps, 2),
         "detail": {
-            "batch": BATCH, "beam": BEAM,
-            "ours_s_per_batch": round(ours_time, 4),
-            "reference_execution_model_caps_per_s": round(ref_cps, 2),
+            "batch": BATCH, "beam": BEAM, "max_len": opt["max_len"],
+            "pipelined_caps_per_s": round(pipe_cps, 2),
+            "sync_caps_per_s": round(sync_cps, 2),
+            "sync_s_per_batch": round(sync_time, 4),
+            "ours_batch8_caps_per_s": round(ours8_cps, 2),
+            "reference_execution_model_batch8_caps_per_s": round(ref_cps, 2),
+            "ratio_batch64_vs_ref_batch8_cross_batch":
+                round(pipe_cps / ref_cps, 2),
             "baseline_source": baseline_source,
+            "decode_program_flops_xla_lower_bound": flops64,
+            "decode_flops_analytic": flops_analytic,
+            "decode_tokens_per_call_max": decode_tokens,
+            "tokens_per_s_pipelined": round(decode_tokens / pipe_time, 1),
+            "peak_bf16_flops": peak,
+            "mfu_sync": round(mfu_sync, 4) if mfu_sync else None,
+            "mfu_pipelined": round(mfu_pipe, 4) if mfu_pipe else None,
             "device": device_name,
         },
     }

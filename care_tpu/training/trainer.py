@@ -123,6 +123,13 @@ class Trainer:
         return self.variables
 
     def _device_batch(self, batch):
+        # multi-host loaders (HostShardedBatches) already yield global,
+        # mesh-placed jax.Arrays — pass them through untouched
+        leaves = jax.tree.leaves(batch)
+        if leaves and all(
+                getattr(getattr(l, "sharding", None), "mesh", None)
+                is not None for l in leaves):
+            return batch
         b = device_batch(batch)
         if self.mesh is not None:
             from care_tpu.parallel import shard_batch
@@ -207,6 +214,14 @@ class Trainer:
         opt = self.opt
         epochs = epochs if epochs is not None else opt["epochs"]
         assert self.train_loader is not None
+
+        # pod-scale input: each host feeds its slice of the global batch
+        # (no-op single-process; see parallel/input.py)
+        if self.mesh is not None and jax.process_count() > 1:
+            from care_tpu.parallel import HostShardedBatches
+            if not isinstance(self.train_loader, HostShardedBatches):
+                self.train_loader = HostShardedBatches(self.train_loader,
+                                                       self.mesh)
 
         if self.variables is None:
             first = next(iter(self.train_loader))
