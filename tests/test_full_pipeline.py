@@ -101,3 +101,26 @@ def test_cli_train_and_translate(tmp_path):
         cwd=repo, env=env, capture_output=True, text=True, timeout=500)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "CIDEr" in r2.stdout or "n_frames" in r2.stdout
+
+    # n_frames sensitivity sweep (reference translate.py:92-103): rows
+    # accumulate into ./results_loop/n_frames.csv; --save_csv also appends
+    # a row next to the checkpoint
+    loop_cwd = tmp_path / "looprun"
+    loop_cwd.mkdir()
+    env2 = dict(env, PYTHONPATH=repo)
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(repo, "translate.py"),
+         "-cp", ckpts[0], "--base_data_path", str(tmp_path),
+         "--batch_size", "8", "--loop_n_frames", "4", "8",
+         "--save_csv", "--csv_name", "sweep.csv"],
+        cwd=str(loop_cwd), env=env2, capture_output=True, text=True,
+        timeout=500)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    import pandas as pd
+    loop_csv = loop_cwd / "results_loop" / "n_frames.csv"
+    assert loop_csv.exists()
+    df = pd.read_csv(loop_csv)
+    assert sorted(df["n_frames"].tolist()) == [4, 8]
+    assert "CIDEr" in df.columns and "scope" in df.columns
+    sweep = pd.read_csv(os.path.join(os.path.dirname(ckpts[0]), "sweep.csv"))
+    assert len(sweep) == 2

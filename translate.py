@@ -143,6 +143,20 @@ def main():
             f" category={specific}" if specific != -1 else "")
         print(f"{tag}:", {k: round(v, 4) for k, v in scores.items()})
 
+        # sweep CSVs (reference translate.py:92-116): n_frames / category
+        # loops always accumulate rows under ./results_loop/
+        if args.loop_n_frames or args.loop_category:
+            from care_tpu.utils.logger import save_dict_to_csv
+            row = dict(scores)
+            row["scope"] = opt.get("scope", "")
+            if args.loop_n_frames:
+                row["n_frames"] = n_frames
+                row["seed"] = opt.get("seed", 0)
+                save_dict_to_csv("./results_loop/", "n_frames.csv", row)
+            else:
+                row["category"] = specific
+                save_dict_to_csv("./results_loop/", "category.csv", row)
+
         if args.save_csv:
             from care_tpu.utils.logger import save_dict_to_csv
             row = dict(scores)
