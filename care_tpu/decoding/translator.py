@@ -50,6 +50,24 @@ class Translator:
         keep = ("category", "category_embs")
         return {k: batch[k] for k in keep if k in batch}
 
+    def translate_batches(self, models, batches, depth: int = 2, **kwargs):
+        """Pipelined decode over an iterable of batches: keeps up to
+        ``depth`` decode programs in flight so device work overlaps host
+        post-processing and the runtime's fixed per-call dispatch overhead
+        (measured ~50-90 ms on the axon runtime; see bench.py).  Yields
+        ``(batch, (hyps, scores))`` in input order — identical results to
+        calling :meth:`translate_batch` per batch."""
+        from collections import deque
+        pending = deque()
+        for batch in batches:
+            pending.append((batch, self.dispatch(models, batch, **kwargs)))
+            while len(pending) > depth:
+                b, out = pending.popleft()
+                yield b, self.collect(out)
+        while pending:
+            b, out = pending.popleft()
+            yield b, self.collect(out)
+
 
 class TranslatorARFormer(Translator):
     """Batched beam search with KV cache (replaces ``Translator_ARFormer``)."""
@@ -158,10 +176,9 @@ class TranslatorARFormer(Translator):
 
         return jax.jit(run)
 
-    def translate_batch(self, models, batch: Dict[str, Any], *args, **kwargs
-                        ) -> Tuple[List[List[List[int]]], List[List[float]]]:
-        """models: list of (captioner, variables). Returns (hyps, scores)
-        shaped like the reference: hyps[n] = list of topk token-id lists."""
+    def dispatch(self, models, batch: Dict[str, Any], **kwargs):
+        """Enqueue one fused decode program; returns device output handles
+        (async — pair with :meth:`collect`)."""
         if not isinstance(models, list):
             models = [models]
         is_rnn = "rnn" in self.opt["decoder"].lower()
@@ -176,8 +193,18 @@ class TranslatorARFormer(Translator):
                 [m for m, _ in models])
         fn = self._jit_cache[key][0]
         all_variables = [v for _, v in models]
-        hyp_tokens, hyp_scores, hyp_lengths, hyp_valid = fn(
-            all_variables, batch["feats"], batch_aux)
+        return fn(all_variables, batch["feats"], batch_aux)
+
+    def translate_batch(self, models, batch: Dict[str, Any], *args, **kwargs
+                        ) -> Tuple[List[List[List[int]]], List[List[float]]]:
+        """models: list of (captioner, variables). Returns (hyps, scores)
+        shaped like the reference: hyps[n] = list of topk token-id lists."""
+        return self.collect(self.dispatch(models, batch))
+
+    def collect(self, out):
+        """Host side of one decode: fetch + reference-shaped hypothesis
+        collection (the np.asarray calls are the true sync point)."""
+        hyp_tokens, hyp_scores, hyp_lengths, hyp_valid = out
 
         hyp_tokens = np.asarray(hyp_tokens)
         hyp_scores = np.asarray(hyp_scores)
@@ -316,10 +343,9 @@ class TranslatorNARFormer(Translator):
 
         return jax.jit(run)
 
-    def translate_batch(self, models, batch: Dict[str, Any],
-                        teacher=None, vocab_mapping=None, **kwargs):
-        """models: list with one (captioner, variables) pair; ``teacher``:
-        optional (captioner, variables) AR teacher for rescoring."""
+    def dispatch(self, models, batch: Dict[str, Any],
+                 teacher=None, vocab_mapping=None, **kwargs):
+        """Enqueue one NAR refinement program (async; see ``collect``)."""
         if isinstance(models, list):
             assert len(models) == 1
             model, variables = models[0]
@@ -331,12 +357,22 @@ class TranslatorNARFormer(Translator):
               else None)
         key = (id(model), id(teacher_obj), self.paradigm)
         if key not in self._jit_cache:
-            # strong refs: see TranslatorARFormer.translate_batch
+            # strong refs: see TranslatorARFormer.dispatch
             self._jit_cache[key] = (
                 self._build_fn((model, teacher_obj), teacher_vars, vm),
                 (model, teacher_obj))
         fn = self._jit_cache[key][0]
         batch_aux = self._batch_inputs(batch)
-        hyp, lp = fn(variables, batch["feats"], batch_aux,
-                     teacher_vars if teacher_vars is not None else {})
+        return fn(variables, batch["feats"], batch_aux,
+                  teacher_vars if teacher_vars is not None else {})
+
+    def collect(self, out):
+        hyp, lp = out
         return np.asarray(hyp).tolist(), np.asarray(lp).tolist()
+
+    def translate_batch(self, models, batch: Dict[str, Any],
+                        teacher=None, vocab_mapping=None, **kwargs):
+        """models: list with one (captioner, variables) pair; ``teacher``:
+        optional (captioner, variables) AR teacher for rescoring."""
+        return self.collect(self.dispatch(models, batch, teacher=teacher,
+                                          vocab_mapping=vocab_mapping))

@@ -442,15 +442,20 @@ class Trainer:
             self._teacher = (models[0], vm)
         return self._teacher
 
+    def _teacher_kwargs(self):
+        teacher, vocab_mapping = self._get_teacher()
+        if teacher is None:
+            return {}
+        return {"teacher": teacher, "vocab_mapping": vocab_mapping}
+
     def translate_step(self, batch) -> Dict[str, list]:
         """Generate captions for a batch; returns dict[vid] -> preds."""
         b = device_batch(batch)
-        teacher, vocab_mapping = self._get_teacher()
-        kwargs = {}
-        if teacher is not None:
-            kwargs = {"teacher": teacher, "vocab_mapping": vocab_mapping}
         hyps, scores = self.translator.translate_batch(
-            [(self.model, self.variables)], b, **kwargs)
+            [(self.model, self.variables)], b, **self._teacher_kwargs())
+        return self._collect_preds(batch, hyps, scores)
+
+    def _collect_preds(self, batch, hyps, scores) -> Dict[str, list]:
         preds = {}
         mask = batch.get("batch_mask")
         for i, vid in enumerate(batch["video_ids"]):
@@ -495,11 +500,23 @@ class Trainer:
         if run_concept_metrics and self._eval_metrics_fn is None:
             self._eval_metrics_fn = self._make_eval_metrics_fn()
         tracker = MetricTracker()
-        for batch in loader:
-            preds.update(self.translate_step(batch))
+        # pipelined decode: up to 2 fused programs in flight, so device
+        # work overlaps host post-processing + per-call dispatch overhead
+        originals = []
+
+        def device_batches():
+            for b in loader:
+                originals.append(b)
+                yield device_batch(b)
+
+        for i, (db, (hyps, scores)) in enumerate(
+                self.translator.translate_batches(
+                    [(self.model, self.variables)], device_batches(),
+                    **self._teacher_kwargs())):
+            batch = originals[i]
+            preds.update(self._collect_preds(batch, hyps, scores))
             if run_concept_metrics and "labels_attr" in batch:
-                m = self._eval_metrics_fn(self.variables,
-                                          device_batch(batch))
+                m = self._eval_metrics_fn(self.variables, db)
                 tracker.update({k: float(v) for k, v in m.items()})
 
         scorer = COCOScorer()

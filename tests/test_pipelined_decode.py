@@ -1,0 +1,75 @@
+"""Pipelined decode == sequential decode (AR beam + NAR refinement).
+
+``Translator.translate_batches`` keeps several fused programs in flight
+(hides the runtime's per-call dispatch overhead); outputs must be
+byte-identical and in input order vs per-batch ``translate_batch``.
+"""
+
+import numpy as np
+
+from care_tpu.decoding import get_translator
+from helpers import tiny_opt, tiny_model_and_batch
+
+
+def _batches(opt, n, batch_size=3):
+    out = []
+    for seed in range(n):
+        _, _, batch = tiny_model_and_batch(opt, batch_size=batch_size,
+                                           seed=seed + 1)
+        out.append({"feats": batch["feats"]})
+    return out
+
+
+def test_ar_pipelined_equals_sequential():
+    opt = tiny_opt(vocab_size=40, beam_size=3, topk=2)
+    model, variables, _ = tiny_model_and_batch(opt)
+    tr = get_translator(opt)
+    batches = _batches(opt, 5)
+    models = [(model, variables)]
+
+    seq = [tr.translate_batch(models, b) for b in batches]
+    piped = list(tr.translate_batches(models, iter(batches), depth=2))
+    assert len(piped) == len(seq)
+    for (b_in, got), b_orig, want in zip(piped, batches, seq):
+        assert b_in is b_orig  # order preserved
+        assert got == want
+
+
+def test_nar_pipelined_equals_sequential():
+    opt = tiny_opt(method="NAB", vocab_size=40)
+    assert opt["decoding_type"] == "NARFormer"
+    model, variables, _ = tiny_model_and_batch(opt)
+    tr = get_translator(opt)
+    batches = _batches(opt, 4)
+    models = [(model, variables)]
+
+    seq = [tr.translate_batch(models, b) for b in batches]
+    piped = list(tr.translate_batches(models, iter(batches), depth=3))
+    for (_, got), want in zip(piped, seq):
+        assert got == want
+
+
+def test_trainer_validate_pipelined(tmp_path):
+    """validate() produces the same scores as before the pipelining."""
+    from care_tpu.data import get_loader
+    from care_tpu.training.trainer import Trainer
+    from test_train_e2e import make_synthetic_env
+
+    opt, corpus, refs = make_synthetic_env(tmp_path, extra={"epochs": 1})
+    train_loader = get_loader(opt, "train")
+    val_loader = get_loader(opt, "validate", is_validation=True,
+                            not_shuffle=True)
+    trainer = Trainer(opt, train_loader=train_loader, val_loader=val_loader,
+                      references=refs, vocab=corpus["info"]["itow"])
+    trainer.init_model(next(iter(train_loader)))
+    trainer._build_tx(len(train_loader))
+
+    scores_a = trainer.validate(0)
+    # sequential per-batch path through translate_step
+    preds = {}
+    for batch in val_loader:
+        preds.update(trainer.translate_step(batch))
+    from care_tpu.metrics import COCOScorer
+    scores_b, _ = COCOScorer().score(refs, preds, list(preds.keys()))
+    for k in ("Bleu_4", "CIDEr", "ROUGE_L", "METEOR"):
+        assert abs(scores_a[k] - scores_b[k]) < 1e-9, (k, scores_a, scores_b)
