@@ -359,4 +359,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from care_tpu.utils.device import honor_jax_platforms
+    honor_jax_platforms()
     main()

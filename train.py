@@ -120,6 +120,8 @@ def run(opt, mesh=None):
 
 
 if __name__ == "__main__":
+    from care_tpu.utils.device import honor_jax_platforms
+    honor_jax_platforms()
     from care_tpu.config import get_opt
 
     args = parse_args()
