@@ -26,7 +26,20 @@ except Exception:
 # Production TPU code intentionally keeps the fast default.
 jax.config.update("jax_default_matmul_precision", "float32")
 
+import sys  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Pre-import the repo's root entry points so that even if a test later puts
+# /root/reference on sys.path (reference_adapter), `import train` etc. keep
+# resolving to OUR modules via the sys.modules cache (the reference has
+# same-named train.py/translate.py that require `wget`).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+import train  # noqa: E402,F401
+import translate  # noqa: E402,F401
+import eval_json  # noqa: E402,F401
 
 
 def pytest_addoption(parser):

@@ -16,8 +16,14 @@ import numpy as np
 def import_reference():
     """Make `/root/reference` importable with stubbed heavy deps; returns
     the reference's get_framework."""
+    # APPEND (never prepend): the repo root also has `train`/`translate`
+    # top-level modules, and prepending made a later `import train` in the
+    # same pytest process resolve to /root/reference/train.py (which dies on
+    # `import wget`). Appending keeps repo modules winning while still
+    # letting the reference's own `models`/`config`/`misc` packages resolve
+    # (no same-named packages exist earlier on sys.path).
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        sys.path.append("/root/reference")
 
     import torch
 
