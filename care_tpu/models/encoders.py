@@ -348,6 +348,69 @@ class SingleStreamEmbedder(nn.Module):
                 "mean_encoder_hidden_states": [x.mean(axis=1)]}
 
 
+class CNNPatchEncoder(nn.Module):
+    """Dense-patch 3D-conv encoder (reference ``models/Att_Encoder.py:6-99``,
+    ``CNNBase``/``CNN1``/``CNN2``/``CNN3``).
+
+    Input is a 4-D patch-feature tensor [B, n_frames, n_layers, n_patches]
+    (n_patches a perfect square); layers are mean-pooled, frames/patches are
+    reshaped to a [B, F, ws, ws, 1] volume and pushed through three
+    Conv3d+BN+ReLU blocks with frame-axis average pooling, then flattened
+    (channel-major, matching the torch ``view``) into one [B, 1, H] token.
+
+    Reachable in the reference via ``--encoder CNN1`` (``Encoder.py:19-23``
+    resolves ``globals()``, and ``Att_Encoder`` is star-imported), though no
+    shipped config uses it. TPU note: convs are NDHWC so XLA lowers them
+    straight to the conv MXU path; all shapes static.
+    """
+    opt: Dict[str, Any]
+    kernel_size: tuple = (3, 3, 3)
+    padding: tuple = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, input_feats, deterministic: bool = True):
+        opt = self.opt
+        x = input_feats[0] if isinstance(input_feats, (list, tuple)) \
+            else input_feats
+        n_patches = x.shape[-1]
+        ws = int(n_patches ** 0.5)
+        assert ws * ws == n_patches, n_patches
+        n_frames = x.shape[1]
+        bsz = x.shape[0]
+
+        x = x.mean(axis=2)  # [B, F, P]
+        x = x.reshape(bsz, n_frames, ws, ws, 1)  # NDHWC
+
+        def block(x, features, ksize, pad):
+            x = nn.Conv(features, kernel_size=ksize,
+                        padding=[(p, p) for p in pad], use_bias=True)(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             momentum=0.9, epsilon=1e-5)(x)
+            return nn.relu(x)
+
+        k, p = self.kernel_size, self.padding
+        x = block(x, 2, k, p)
+        x = nn.avg_pool(x, (2, 1, 1), strides=(2, 1, 1))
+        x = block(x, 4, k, p)
+        x = nn.avg_pool(x, (2, 1, 1), strides=(2, 1, 1))
+        # final block collapses the frame axis: kernel depth F//4, no pad
+        x = block(x, 8, (n_frames // 4,) + tuple(k[1:]),
+                  (0,) + tuple(p[1:]))  # [B, 1, ws, ws, 8]
+
+        # channel-major flatten to match torch's view on NCDHW
+        x = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(bsz, 1, -1)
+        x = Dense(opt.get("dim_hidden", 512), name="net")(x)
+        x = nn.LayerNorm(epsilon=opt["layer_norm_eps"], name="LN")(x)
+        return {"encoder_hidden_states": x,
+                "mean_encoder_hidden_states": [x.mean(axis=1)]}
+
+
+_CNN_VARIANTS = {
+    "CNN1": ((3, 3, 3), (1, 1, 1)),
+    "CNN2": ((7, 3, 3), (3, 1, 1)),
+    "CNN3": ((7, 5, 5), (3, 2, 2)),
+}
+
 _STREAM_KINDS = {
     "Embedder": "embedder",
     "ReLUEmbedder": "relu",
@@ -364,6 +427,9 @@ def get_encoder(opt: dict) -> nn.Module:
         return VOE(opt, name="encoder")
     if name == "SingleStreamEmbedder":
         return SingleStreamEmbedder(opt, name="encoder")
+    if name in _CNN_VARIANTS:
+        k, p = _CNN_VARIANTS[name]
+        return CNNPatchEncoder(opt, kernel_size=k, padding=p, name="encoder")
     if name not in _STREAM_KINDS:
         raise ValueError(f"unknown encoder `{name}`")
     return MultipleStreams(opt, _STREAM_KINDS[name], name="encoder")
