@@ -181,6 +181,23 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
     return p
 
 
+def transplant_pointer_weights(state_dict, flax_params):
+    """Map the reference Pointer (``models/Pointer.py:18-31``: bare SDPA
+    q/k/v + Wq/Wc gate linears) into our ``models/pointer.py`` params."""
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in state_dict.items()}
+    p = flax_params
+    for proj in ["query", "key", "value"]:
+        _set(p, f"pointer/attention/{proj}/kernel",
+             sd[f"pointer.attention.{proj}.weight"].T)
+        _set(p, f"pointer/attention/{proj}/bias",
+             sd[f"pointer.attention.{proj}.bias"])
+    for lin in ["Wq", "Wc"]:
+        _set(p, f"pointer/{lin}/kernel", sd[f"pointer.{lin}.weight"].T)
+        _set(p, f"pointer/{lin}/bias", sd[f"pointer.{lin}.bias"])
+    return p
+
+
 def transplant_highwaybn_encoder(state_dict, flax_variables, opt):
     """Map the ARB/NAB EncoderWithHighWayBN streams (Linear + HighWay +
     BatchNorm1d + Dropout) into params + batch_stats."""
