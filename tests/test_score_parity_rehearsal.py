@@ -83,6 +83,229 @@ def _to_torch(torch, batch):
     return t
 
 
+def _make_care_env(tmp_path):
+    overrides = {
+        "dataset": "MSRVTT", "method": "Transformer", "task": "CARE",
+        "feats": "ViT", "decoder_modality_flags": "V",
+        "predictor_modality_flags": "V",
+        "final_overrides": {
+            "max_len": 12, "n_frames": 8, "batch_size": 8,
+            "beam_size": 3, "topk": 1, "beam_alpha": 1.0,
+            "num_hidden_layers_decoder": 1, "dim_hidden": 64,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "encoder_dropout_prob": 0.0, "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0, "trainable_pe": True,
+            "attribute_prediction_k": 16, "use_attr_topk": 4,
+            "lowlr_start_epoch": 6, "weight_decay": 0.0,
+        },
+    }
+    opt = get_opt(overrides, read_vocab=False, resolve_paths=False)
+    opt["dim_m"], opt["dim_i"] = 32, 16
+
+    import os
+    root, paths, corpus, refs = write_synthetic_dataset(
+        str(tmp_path), opt, n_videos=24, correlated=True)
+    opt["info_corpus"] = os.path.join(root, "info_corpus.pkl")
+    opt["reference"] = os.path.join(root, "refs.pkl")
+    for c, p in paths.items():
+        opt[f"feats_{c}"] = [p]
+    opt["vocab_size"] = len(corpus["info"]["itow"])
+    return opt, corpus, refs
+
+
+def _care_ref_opt_from(opt):
+    ref_opt = _ref_opt_from(opt)
+    care_keys = [
+        "crits", "attribute_prediction", "attribute_prediction_k",
+        "attribute_prediction_flags", "attribute_prediction_mean_pooling",
+        "attribute_prediction_channel_concat",
+        "attribute_prediction_sparse_sampling", "use_attr", "use_attr_type",
+        "use_attr_topk", "use_attr_flags", "add_hybrid_attention_bias",
+        "attr_layer_pos", "predictors_to_be_added", "learning_rate",
+        "low_learning_rate", "lowlr_start_epoch", "weight_decay",
+        "lr_decay", "lr_step_size", "decoding_type",
+    ]
+    for k in care_keys:
+        if k in opt:
+            ref_opt[k] = opt[k]
+    return ref_opt
+
+
+def test_care_flagship_training_and_scores_match_reference(tmp_path):
+    """The CARE north-star recipe itself (reference
+    ``models/Wrapper.py:460-547``): noisy-OR MIL concept detection + lang
+    loss, semantic container (G1Lc + hybrid bias), and the dual-Adam
+    low-LR switch at ``lowlr_start_epoch`` — both stacks trained from the
+    same transplanted init on the same batch stream, then decoded + COCO
+    scored with their own engines."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from misc.Crit import get_criterion as ref_get_criterion
+    from models.Translator import get_translator as ref_get_translator
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from care_tpu.models import build_captioner
+    from care_tpu.training.losses import Criterion
+    from care_tpu.training.optim import make_adam, make_dual_adam, \
+        make_lr_schedule
+
+    opt, corpus, refs = _make_care_env(tmp_path)
+    itow = corpus["info"]["itow"]
+    ref_opt = _care_ref_opt_from(opt)
+    switch_epoch = opt["lowlr_start_epoch"]
+    assert 0 < switch_epoch < EPOCHS  # the switch actually happens mid-run
+
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+    ref_crit = ref_get_criterion({**ref_opt, "calculate_mAP": False})
+    # the reference hardcodes an F1@{5..50} recording ladder
+    # (crit_attribute.py:20) that crashes for K=16 concepts; clamp it like
+    # our Criterion does — it records metrics only, never touches the loss
+    for c in ref_crit.crit_objects:
+        if hasattr(c, "topk_list"):
+            c.topk_list = [k for k in c.topk_list
+                           if k <= opt["attribute_prediction_k"]] or [4]
+
+    model = build_captioner(opt)
+    train_loader = get_loader(opt, "train")
+    first = next(iter(train_loader))
+    batch0 = {"feats": [jnp.asarray(np.asarray(f)) for f in first["feats"]],
+              "input_ids": jnp.asarray(np.asarray(first["input_ids"]))}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng,
+                            "sampling": rng}, batch0, deterministic=True)
+    params = jax.tree.map(np.asarray, variables["params"])
+    params = transplant_transformer_weights(ref_model.state_dict(), params,
+                                            ref_opt)
+    params = jax.tree.map(lambda x: jnp.array(np.array(x, copy=True)),
+                          params)
+
+    criterion = Criterion(opt)
+    steps_per_epoch = len(train_loader)
+
+    # pre-switch: one Adam over everything at the base LR; post-switch: the
+    # fresh dual Adam (low LR on encoder + concept detector), its schedule
+    # offset to the switch step like the reference's always-stepped StepLR
+    lr_opt = {**opt, "lr_scheduler_type": "linear"}
+    tx1 = make_adam(lr_opt, make_lr_schedule(lr_opt, steps_per_epoch),
+                    params)
+    tx2 = make_dual_adam(lr_opt, params, steps_per_epoch,
+                         offset_steps=switch_epoch * steps_per_epoch)
+    opt_state = tx1.init(params)
+
+    def make_step(tx):
+        @jax.jit
+        def train_step(params, opt_state, batch):
+            def loss_fn(p):
+                outputs = model.apply({"params": p}, batch,
+                                      deterministic=True, collect_aux=False)
+                total, _, _ = criterion({**outputs, **batch}, None)
+                return total
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+        return train_step
+
+    step1, step2 = make_step(tx1), make_step(tx2)
+
+    # reference dual optimizer exactly as Wrapper.configure_optimizers
+    lr, low_lr = opt["learning_rate"], opt["low_learning_rate"]
+    wd = opt["weight_decay"]
+    low_names = ["encoder", "predictor.nets.0"]
+    low_params, rest = [], []
+    for n, p in ref_model.named_parameters():
+        if p.requires_grad:
+            (low_params if any(s in n for s in low_names)
+             else rest).append(p)
+    ref_optim1 = torch.optim.Adam(
+        [p for p in ref_model.parameters() if p.requires_grad],
+        lr=lr, weight_decay=wd)
+    ref_optim2 = torch.optim.Adam(
+        [{"params": low_params, "lr": low_lr},
+         {"params": rest, "lr": lr}], weight_decay=wd)
+    gamma = opt.get("lr_decay", 0.9)
+    ref_sched1 = torch.optim.lr_scheduler.StepLR(ref_optim1, step_size=1,
+                                                 gamma=gamma)
+    ref_sched2 = torch.optim.lr_scheduler.StepLR(ref_optim2, step_size=1,
+                                                 gamma=gamma)
+
+    first_epoch_pairs = []
+    switched = False
+    for epoch in range(EPOCHS):
+        if not switched and epoch >= switch_epoch:
+            opt_state = tx2.init(params)
+            switched = True
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            tb = _to_torch(torch, batch)
+            tb["labels_attr"] = torch.from_numpy(
+                np.asarray(batch["labels_attr"])).float()
+            out = ref_model(tb, current_epoch=epoch)
+            ref_loss = ref_crit.get_loss({**out, **tb})
+            ref_optim = ref_optim2 if epoch >= switch_epoch else ref_optim1
+            ref_optim.zero_grad()
+            ref_loss.backward()
+            ref_optim.step()
+
+            jb = {"feats": [jnp.asarray(np.asarray(f))
+                            for f in batch["feats"]],
+                  "input_ids": jnp.asarray(np.asarray(batch["input_ids"])),
+                  "labels": jnp.asarray(np.asarray(batch["labels"])),
+                  "labels_attr": jnp.asarray(
+                      np.asarray(batch["labels_attr"]))}
+            step = step2 if switched else step1
+            params, opt_state, our_loss = step(params, opt_state, jb)
+            if epoch == 0:
+                first_epoch_pairs.append((float(ref_loss.detach()),
+                                          float(our_loss)))
+        ref_sched1.step()
+        ref_sched2.step()
+    assert switched
+
+    r0, o0 = first_epoch_pairs[0]
+    assert abs(r0 - o0) < 1e-3 * max(1.0, abs(r0)), (r0, o0)
+    for r, o in first_epoch_pairs:
+        assert abs(r - o) < 0.05 * max(1.0, abs(r)), first_epoch_pairs
+
+    # --- decode + COCO score with each stack's own engine ---------------
+    test_loader = get_loader(opt, "test", not_shuffle=True)
+    ref_tr = ref_get_translator({**ref_opt, "decoding_type": "ARFormer"})
+
+    from care_tpu.decoding.translator import get_translator
+    our_tr = get_translator(opt)
+    our_vars = {"params": params}
+
+    ref_preds, our_preds = {}, {}
+    with torch.no_grad():
+        for batch in test_loader:
+            tb = _to_torch(torch, batch)
+            rh, _ = ref_tr.translate_batch([ref_model], tb)
+            jb = {"feats": [jnp.asarray(np.asarray(f))
+                            for f in batch["feats"]]}
+            oh, _ = our_tr.translate_batch([(model, our_vars)], jb)
+            for i, vid in enumerate(batch["video_ids"]):
+                ref_preds[vid] = [{"image_id": vid,
+                                   "caption": to_sentence(rh[i][0], itow)}]
+                our_preds[vid] = [{"image_id": vid,
+                                   "caption": to_sentence(oh[i][0], itow)}]
+
+    scorer = COCOScorer(verbose=False)
+    ids = list(ref_preds.keys())
+    ref_scores, _ = scorer.score(refs, ref_preds, ids)
+    our_scores, _ = scorer.score(refs, our_preds, ids)
+
+    for key in ["Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
+        assert abs(ref_scores[key] - our_scores[key]) <= 0.02, (
+            key, ref_scores, our_scores)
+    # lower floor than the Base rehearsal: the low-LR switch deliberately
+    # slows the encoder/detector after epoch 6 (deterministic: ref 0.230)
+    assert ref_scores["CIDEr"] > 0.2, ref_scores
+    assert our_scores["CIDEr"] > 0.2, our_scores
+
+
 def test_training_and_coco_scores_match_reference(tmp_path):
     torch = pytest.importorskip("torch")
     get_framework = import_reference()
