@@ -156,17 +156,114 @@ def test_meteor_native_alignment_matches_python():
         assert sorted(nat) == sorted(py), (hyp, ref, nat, py)
 
 
+def test_meteor_analytic_goldens():
+    """Closed-form METEOR 1.5 values derived BY HAND from the published
+    formula (Denkowski & Lavie 2014: en parameters alpha=.85 beta=.2
+    gamma=.6 delta=.75; Fmean = PR/(aP+(1-a)R); Pen = g*(ch/m)^b;
+    score = Fmean*(1-Pen)) — independent of the module's own code paths.
+    Pins the formula layer (weighting, penalty, chunking) exactly; the
+    alignment layer is pinned separately (native-vs-python test above),
+    and jar parity is measured by test_meteor_jar_mode_exact_parity when
+    a jar exists."""
+    from care_tpu.metrics.meteor import compute_meteor
+
+    # A: identical 4-content-word sentences. P=R=Fmean=1, ch=1, m=4:
+    #    score = 1 - 0.6 * (1/4)**0.2
+    s, _ = compute_meteor({"v": ["cat dog bird fish"]},
+                          {"v": ["cat dog bird fish"]})
+    assert abs(s - (1.0 - 0.6 * 0.25 ** 0.2)) < 1e-12, s
+
+    # B: hyp "cat sat" vs ref "the cat sat" ("the" is a function word,
+    #    weight .25; content .75). matched weight 1.5 both sides;
+    #    P = 1.5/1.5 = 1, R = 1.5/1.75; one chunk of 2 matches.
+    p, r = 1.0, 1.5 / 1.75
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    expect = fmean * (1.0 - 0.6 * 0.5 ** 0.2)
+    s, _ = compute_meteor({"v": ["the cat sat"]}, {"v": ["cat sat"]})
+    assert abs(s - expect) < 1e-12, (s, expect)
+
+    # C: stem-stage matches only ("dogs runs" / "dog running", Porter stems
+    #    dog/run), stage weight 0.6: P = R = 0.6, Fmean = 0.6, ch=1, m=2.
+    expect = 0.6 * (1.0 - 0.6 * 0.5 ** 0.2)
+    s, _ = compute_meteor({"v": ["dog running"]}, {"v": ["dogs runs"]})
+    assert abs(s - expect) < 1e-12, (s, expect)
+
+    # D: chunk fragmentation: "cat sat the" vs "the cat sat" matches all 3
+    #    words in 2 chunks (cat-sat contiguous, "the" breaks order):
+    #    P=R=Fmean=1, Pen = 0.6*(2/3)**0.2
+    s, _ = compute_meteor({"v": ["the cat sat"]}, {"v": ["cat sat the"]})
+    assert abs(s - (1.0 - 0.6 * (2.0 / 3.0) ** 0.2)) < 1e-12, s
+
+    # E: corpus aggregation = ONE score from summed sufficient statistics
+    #    (A + B pooled), NOT the mean of segment scores
+    gts = {"a": ["cat dog bird fish"], "b": ["the cat sat"]}
+    res = {"a": ["cat dog bird fish"], "b": ["cat sat"]}
+    corpus, seg = compute_meteor(gts, res)
+    w_match_h = 3.0 + 1.5
+    w_match_r = 3.0 + 1.5
+    w_len_h, w_len_r = 3.0 + 1.5, 3.0 + 1.75
+    p, r = w_match_h / w_len_h, w_match_r / w_len_r
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    pen = 0.6 * (2.0 / 6.0) ** 0.2  # 2 chunks, 6 matches pooled
+    assert abs(corpus - fmean * (1.0 - pen)) < 1e-12, corpus
+    assert abs(corpus - np.mean(seg)) > 1e-3  # aggregation is not a mean
+
+    # F: best-reference selection: the closer reference wins the segment
+    s_two, _ = compute_meteor(
+        {"v": ["zebra yak emu owl", "cat dog bird fish"]},
+        {"v": ["cat dog bird fish"]})
+    assert abs(s_two - (1.0 - 0.6 * 0.25 ** 0.2)) < 1e-12, s_two
+
+
+_METEOR_JAR_FIXTURE = (
+    {"184321": ["a train traveling down tracks next to lights",
+                "a train coming down the tracks arriving at a station"],
+     "81922": ["a large jetliner flying over a traffic filled street",
+               "the plane is flying over top of the cars"]},
+    {"184321": ["train traveling down a track in front of a road"],
+     "81922": ["plane is flying through the sky"]},
+)
+
+
 def test_meteor_jar_mode_exact_parity():
-    """Bit-exact parity with the METEOR jar when configured
-    (CARE_METEOR_JAR + java); skipped in zero-egress images without it."""
-    import shutil
-    from care_tpu.metrics.meteor import jar_available, compute_meteor
+    """When CARE_METEOR_JAR + java are configured: (1) jar scores on the
+    fixture corpus must EXACTLY equal the checked-in goldens
+    (tests/goldens/meteor_jar.json — auto-generated on the first
+    jar-equipped run), and (2) the python fallback's deviation from the
+    jar is measured and bounded.  Skipped (and documented as such in
+    PARITY.md §2.9) in zero-egress images without a jar."""
+    import json
+    import os
+    from care_tpu.metrics.meteor import jar_available, compute_meteor, \
+        _compute_meteor_jar
     if not jar_available():
         import pytest
         pytest.skip("no METEOR jar / java in this environment")
-    score, seg = compute_meteor({"v": ["a man is running"]},
-                                {"v": ["a man runs"]})
-    assert 0.0 <= score <= 1.0 and len(seg) == 1
+
+    gts, res = _METEOR_JAR_FIXTURE
+    jar_score, jar_seg = _compute_meteor_jar(gts, res)
+
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "meteor_jar.json")
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            golden = json.load(f)
+        assert jar_score == golden["corpus"], (jar_score, golden)
+        assert jar_seg == golden["segments"], (jar_seg, golden)
+    else:
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        with open(golden_path, "w") as f:
+            json.dump({"corpus": jar_score, "segments": jar_seg}, f,
+                      indent=1)
+
+    # measured python-fallback delta (the PARITY.md §2.9 bound)
+    jar_env = os.environ.pop("CARE_METEOR_JAR")
+    try:
+        py_score, py_seg = compute_meteor(gts, res)
+    finally:
+        os.environ["CARE_METEOR_JAR"] = jar_env
+    delta = abs(py_score - jar_score)
+    assert delta <= 0.03, f"python fallback deviates {delta:.4f} from jar"
 
 
 def test_ptb_tokenizer_stanford_goldens():
