@@ -162,6 +162,37 @@ def main():
     pipe_time = (time.perf_counter() - t0) / N_ITER
     pipe_cps = BATCH / pipe_time
 
+    # ---- dispatch floor: round-trip of a trivial compiled program -----
+    # isolates the fixed per-call cost (tunnel RPC + runtime dispatch)
+    # from device compute; the decode programs above pay this same floor
+    trivial = jax.jit(lambda x: x + 1.0)
+    xz = jnp.zeros(())
+    np.asarray(trivial(xz))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(trivial(xz))
+    dispatch_floor_s = (time.perf_counter() - t0) / 10
+
+    # ---- fused K-batch sync decode: ONE program decodes K batches -----
+    # (lax.map inside the jit), so the dispatch floor is paid once per K
+    # batches even synchronously — the round-3 answer to amortising the
+    # floor without async pipelining
+    K_FUSED = 4
+    fused_sync_cps, fused_time, fused_err = None, None, None
+    try:
+        fused_fn = translator._build_fused_fn(models, (), False)
+        stacked = [jnp.stack([f] * K_FUSED) for f in batch["feats"]]
+        fargs = ([variables], stacked, {})
+        compiled_fused = fused_fn.lower(*fargs).compile()
+        _drain(compiled_fused(*fargs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _drain(compiled_fused(*fargs))
+        fused_time = (time.perf_counter() - t0) / 3
+        fused_sync_cps = K_FUSED * BATCH / fused_time
+    except Exception as e:  # never fail the whole bench
+        fused_err = f"{type(e).__name__}: {e}"
+
     # ---- batch-8 (same batch as the cached reference measurement) -----
     batch8 = {"feats": [f[:SMALL_BATCH] for f in batch["feats"]]}
     compiled8, args8, _ = _build_decode_fn(translator, models, batch8)
@@ -200,6 +231,80 @@ def main():
         except Exception:
             pass
 
+    # ---- flash vs XLA attention at the SwinBERTDense key length -------
+    # proves the pallas kernel compiled on this chip, matched the fused
+    # XLA path numerically, and reports its long-Lk speed
+    flash_detail = None
+    try:
+        from care_tpu.ops.pallas.flash_attention import flash_attention
+        from care_tpu.ops.attention import dot_product_attention
+        Bf, Hf, Lf, Dhf = 4, 8, 1568, 64
+        rsf = np.random.RandomState(0)
+        qf = jnp.asarray(rsf.randn(Bf, Hf, Lf, Dhf).astype(np.float32))
+        kf = jnp.asarray(rsf.randn(Bf, Hf, Lf, Dhf).astype(np.float32))
+        vf = jnp.asarray(rsf.randn(Bf, Hf, Lf, Dhf).astype(np.float32))
+        f_flash = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+        f_xla = jax.jit(lambda q, k, v: dot_product_attention(
+            q, k, v, return_probs=False)[0])
+        out_f = np.asarray(f_flash(qf, kf, vf))
+        out_x = np.asarray(f_xla(qf, kf, vf))
+        max_diff = float(np.abs(out_f - out_x).max())
+
+        # timing variants reduce to a scalar INSIDE the program so the
+        # host sync point fetches 4 bytes, not the 65 MB context tensor
+        t_flash = jax.jit(lambda q, k, v: flash_attention(q, k, v).mean())
+        t_xla = jax.jit(lambda q, k, v: dot_product_attention(
+            q, k, v, return_probs=False)[0].mean())
+
+        def _time(fn):
+            np.asarray(fn(qf, kf, vf))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(5):
+                np.asarray(fn(qf, kf, vf))
+            return (time.perf_counter() - t0) / 5
+
+        flash_detail = {
+            "shape": [Bf, Hf, Lf, Dhf],
+            "max_abs_diff_vs_xla": max_diff,
+            "flash_s": round(_time(t_flash), 5),
+            "xla_s": round(_time(t_xla), 5),
+        }
+    except Exception as e:
+        flash_detail = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- large arch (1024-dim) @ batch 512: second MFU datapoint ------
+    large_detail = None
+    try:
+        LBATCH = 512
+        opt_l = _flagship_opt(arch="large")
+        opt_l["beam_size"] = BEAM
+        model_l = build_captioner(opt_l)
+        batch_l = _synthetic_batch(opt_l, batch_size=LBATCH)
+        small_l = {"feats": [f[:1] for f in batch_l["feats"]],
+                   "input_ids": batch_l["input_ids"][:1]}
+        vars_l = model_l.init({"params": rng, "dropout": rng}, small_l,
+                              deterministic=True)
+        tr_l = get_translator(opt_l)
+        compiled_l, args_l, _ = _build_decode_fn(
+            tr_l, [(model_l, vars_l)], {"feats": batch_l["feats"]})
+        _drain(compiled_l(*args_l))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _drain(compiled_l(*args_l))
+        t_l = (time.perf_counter() - t0) / 3
+        flops_l = _analytic_flops_per_call(vars_l, opt_l, LBATCH, BEAM)
+        peak_l = _peak_flops(device)
+        large_detail = {
+            "arch": "large", "dim_hidden": opt_l["dim_hidden"],
+            "batch": LBATCH,
+            "sync_caps_per_s": round(LBATCH / t_l, 2),
+            "sync_s_per_batch": round(t_l, 4),
+            "mfu_sync": (round(flops_l / t_l / peak_l, 4)
+                         if peak_l else None),
+        }
+    except Exception as e:
+        large_detail = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- MFU / tokens ------------------------------------------------
     peak = _peak_flops(device)
     flops_analytic = _analytic_flops_per_call(variables, opt, BATCH, BEAM)
@@ -207,17 +312,27 @@ def main():
     mfu_pipe = (flops_analytic / pipe_time / peak) if peak else None
     decode_tokens = BATCH * BEAM * (opt["max_len"] - 1)
 
+    best_cps = max(pipe_cps, fused_sync_cps or 0.0)
     result = {
         "metric": "captions_per_sec_beam5",
-        "value": round(pipe_cps, 2),
+        "value": round(best_cps, 2),
         "unit": "captions/s/chip",
         # same-batch, same-chip execution-model ratio (batch 8 vs batch 8)
         "vs_baseline": round(ours8_cps / ref_cps, 2),
         "detail": {
             "batch": BATCH, "beam": BEAM, "max_len": opt["max_len"],
+            "headline_mode": ("fused_sync_k4"
+                              if best_cps != pipe_cps else "pipelined"),
             "pipelined_caps_per_s": round(pipe_cps, 2),
             "sync_caps_per_s": round(sync_cps, 2),
             "sync_s_per_batch": round(sync_time, 4),
+            "fused_sync_k4_caps_per_s": (round(fused_sync_cps, 2)
+                                         if fused_sync_cps else fused_err),
+            "fused_sync_k4_s_per_call": (round(fused_time, 4)
+                                         if fused_time else None),
+            "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
+            "flash_attention_lk1568": flash_detail,
+            "large_arch": large_detail,
             "ours_batch8_caps_per_s": round(ours8_cps, 2),
             "reference_execution_model_batch8_caps_per_s": round(ref_cps, 2),
             "ratio_batch64_vs_ref_batch8_cross_batch":

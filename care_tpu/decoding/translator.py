@@ -79,7 +79,9 @@ class TranslatorARFormer(Translator):
         self.topk = opt.get("topk", 1)
         self.max_len = opt.get("max_len", 30)
 
-    def _build_fn(self, models, batch_keys, is_rnn: bool):
+    def _make_run(self, models, is_rnn: bool):
+        """The pure decode body (encode -> enlarge -> KV-cache beam), shared
+        by the per-batch jit and the K-batch fused program."""
         opt = self.opt
         beam_size, max_len = self.beam_size, self.max_len
         topk, alpha = self.topk, self.beam_alpha
@@ -174,7 +176,26 @@ class TranslatorARFormer(Translator):
                 beam_size=beam_size, max_len=max_len, beam_alpha=alpha,
                 topk=topk, gather_carry=gather_carry)
 
-        return jax.jit(run)
+        return run
+
+    def _build_fn(self, models, batch_keys, is_rnn: bool):
+        return jax.jit(self._make_run(models, is_rnn))
+
+    def _build_fused_fn(self, models, batch_keys, is_rnn: bool):
+        """ONE jitted program decoding K stacked same-shape batches via
+        ``lax.map``: the runtime's fixed per-program dispatch cost (the
+        measured ~50-90 ms floor on the axon runtime, see bench.py) is paid
+        once per K batches even on the synchronous path, while the working
+        set stays that of a single batch (map is sequential, unlike a K-fold
+        megabatch concat)."""
+        run = self._make_run(models, is_rnn)
+
+        def run_many(all_variables, stacked_feats, stacked_aux):
+            return jax.lax.map(
+                lambda fa: run(all_variables, fa[0], fa[1]),
+                (stacked_feats, stacked_aux))
+
+        return jax.jit(run_many)
 
     def dispatch(self, models, batch: Dict[str, Any], **kwargs):
         """Enqueue one fused decode program; returns device output handles
@@ -200,6 +221,38 @@ class TranslatorARFormer(Translator):
         """models: list of (captioner, variables). Returns (hyps, scores)
         shaped like the reference: hyps[n] = list of topk token-id lists."""
         return self.collect(self.dispatch(models, batch))
+
+    def dispatch_fused(self, models, batches: List[Dict[str, Any]]):
+        """Enqueue ONE device program decoding K same-shape batches
+        (``_build_fused_fn``); returns stacked output handles."""
+        if not isinstance(models, list):
+            models = [models]
+        K = len(batches)
+        is_rnn = "rnn" in self.opt["decoder"].lower()
+        aux_list = [self._batch_inputs(b) for b in batches]
+        key = (tuple(id(m) for m, _ in models),
+               tuple(sorted(aux_list[0].keys())), is_rnn, "fused", K)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = (
+                self._build_fused_fn(models, tuple(sorted(aux_list[0])),
+                                     is_rnn),
+                [m for m, _ in models])
+        fn = self._jit_cache[key][0]
+        all_variables = [v for _, v in models]
+        stacked_feats = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                     *[b["feats"] for b in batches])
+        stacked_aux = (jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
+                       if aux_list[0] else {})
+        return fn(all_variables, stacked_feats, stacked_aux)
+
+    def translate_batches_fused(self, models, batches: List[Dict[str, Any]]):
+        """Decode K same-shape batches in one program; returns a list of
+        per-batch (hyps, scores) — identical to per-batch translate_batch,
+        with the per-call dispatch floor paid once."""
+        out = self.dispatch_fused(models, batches)
+        arrays = [np.asarray(o) for o in out]
+        return [self.collect(tuple(a[k] for a in arrays))
+                for k in range(len(batches))]
 
     def collect(self, out):
         """Host side of one decode: fetch + reference-shaped hypothesis

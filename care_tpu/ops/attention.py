@@ -9,10 +9,15 @@ XLA fuses the elementwise chain into the matmuls on TPU. For long key axes
 avoids materialising the ``[B, H, Lq, Lk]`` score tensor in HBM.
 """
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+_logger = logging.getLogger(__name__)
+_flash_fallback_logged = False
 
 
 def dot_product_attention(
@@ -39,8 +44,16 @@ def dot_product_attention(
         try:
             from care_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(query, key, value, bias=bias), None
-        except Exception:
-            pass  # fall through to the XLA path
+        except Exception as e:
+            # fall through to the XLA path, but never silently: a broken
+            # kernel hiding behind auto-dispatch would otherwise look like
+            # a perf regression instead of an error
+            global _flash_fallback_logged
+            if not _flash_fallback_logged:
+                _flash_fallback_logged = True
+                _logger.warning(
+                    "pallas flash_attention failed (%s: %s); falling back "
+                    "to the fused XLA attention path", type(e).__name__, e)
 
     dh = query.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))

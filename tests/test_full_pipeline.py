@@ -79,26 +79,33 @@ def test_cli_train_and_translate(tmp_path):
         "feats_m_name": ["synthetic_m.hdf5"],
         "feats_i_name": ["synthetic_i.hdf5"],
     })
-    cmd = [sys.executable, "train.py", "--dataset", "MSRVTT",
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # run the CLIs from tmp_path: BASE_CHECKPOINT_PATH is cwd-relative
+    # ("./exps"), and running from the repo would accumulate checkpoint +
+    # sweep-CSV state in repo/exps across test sessions (the --save_csv
+    # contract APPENDS, reference behavior)
+    env["PYTHONPATH"] = repo
+    cmd = [sys.executable, os.path.join(repo, "train.py"),
+           "--dataset", "MSRVTT",
            "--method", "Transformer", "--task", "Base", "--feats", "ViT",
            "--modality", "mi", "--epochs", "1", "--batch_size", "8",
            "--base_data_path", str(tmp_path),
            "--override", override_json]
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+    r = subprocess.run(cmd, cwd=str(tmp_path), env=env, capture_output=True,
                        text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "test scores" in r.stdout
 
     # find the checkpoint the run produced and evaluate it via translate.py
     import glob
-    ckpts = glob.glob(os.path.join(repo, "exps", "MSRVTT", "Transformer",
-                                   "Base", "*", "best.ckpt"))
+    ckpts = glob.glob(os.path.join(str(tmp_path), "exps", "MSRVTT",
+                                   "Transformer", "Base", "*", "best.ckpt"))
     assert ckpts, "no checkpoint written"
     r2 = subprocess.run(
-        [sys.executable, "translate.py", "-cp", ckpts[0],
+        [sys.executable, os.path.join(repo, "translate.py"), "-cp", ckpts[0],
          "--base_data_path", str(tmp_path), "--batch_size", "8"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=500)
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=500)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "CIDEr" in r2.stdout or "n_frames" in r2.stdout
 

@@ -35,6 +35,21 @@ def test_ar_pipelined_equals_sequential():
         assert got == want
 
 
+def test_ar_fused_k_batches_equals_sequential():
+    """translate_batches_fused: K stacked batches through ONE lax.map
+    program == per-batch translate_batch (the sync dispatch-floor
+    amortisation path)."""
+    opt = tiny_opt(vocab_size=40, beam_size=3, topk=2)
+    model, variables, _ = tiny_model_and_batch(opt)
+    tr = get_translator(opt)
+    batches = _batches(opt, 3)
+    models = [(model, variables)]
+
+    seq = [tr.translate_batch(models, b) for b in batches]
+    fused = tr.translate_batches_fused(models, batches)
+    assert fused == seq
+
+
 def test_nar_pipelined_equals_sequential():
     opt = tiny_opt(method="NAB", vocab_size=40)
     assert opt["decoding_type"] == "NARFormer"
