@@ -88,3 +88,38 @@ def test_trainer_validate_pipelined(tmp_path):
     scores_b, _ = COCOScorer().score(refs, preds, list(preds.keys()))
     for k in ("Bleu_4", "CIDEr", "ROUGE_L", "METEOR"):
         assert abs(scores_a[k] - scores_b[k]) < 1e-9, (k, scores_a, scores_b)
+
+
+def test_run_eval_fused_k_matches_pipelined(tmp_path):
+    """translate.run_eval with --fused_k grouping (incl. ragged-tail
+    fallback) produces identical predictions/scores to the pipelined
+    path."""
+    import jax
+    import jax.numpy as jnp
+    from test_train_e2e import make_synthetic_env
+    from care_tpu.data import get_loader
+    from care_tpu.models import build_captioner
+    import translate as T
+
+    opt, corpus, refs = make_synthetic_env(tmp_path,
+                                           extra={"batch_size": 2})
+    itow = corpus["info"]["itow"]
+    model = build_captioner(opt)
+    loader0 = get_loader(opt, "test", not_shuffle=True)
+    first = next(iter(loader0))
+    batch0 = {"feats": [jnp.asarray(np.asarray(f)) for f in first["feats"]],
+              "input_ids": jnp.ones((np.asarray(first["feats"][0]).shape[0],
+                                     opt["max_len"] - 1), jnp.int32)}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng,
+                            "sampling": rng}, batch0, deterministic=True)
+    models = [(model, variables)]
+
+    s1, _, p1, _, n1 = T.run_eval(
+        models, opt, get_loader(opt, "test", not_shuffle=True), refs, itow)
+    s2, _, p2, _, n2 = T.run_eval(
+        models, opt, get_loader(opt, "test", not_shuffle=True), refs, itow,
+        fused_k=2)
+    assert n1 == n2
+    assert p1 == p2
+    assert s1 == s2

@@ -57,11 +57,15 @@ def parse_args(argv=None):
     p.add_argument("-topk", "--topk", type=int, default=None)
     p.add_argument("--devices", type=str, default="",
                    help="script-parity no-op (device selection is via JAX)")
+    p.add_argument("--fused_k", type=int, default=0,
+                   help="decode groups of K same-shape batches as one "
+                        "device program (amortises the per-call dispatch "
+                        "floor; AR decoding only)")
     return p.parse_args(argv)
 
 
 def run_eval(models, opt, loader, references, vocab, latency=False,
-             ensemble_spec=None):
+             ensemble_spec=None, fused_k: int = 0):
     from care_tpu.decoding import get_translator
     from care_tpu.metrics import COCOScorer
     from care_tpu.utils.logger import to_sentence
@@ -91,6 +95,37 @@ def run_eval(models, opt, loader, references, vocab, latency=False,
                 out = translator.translate_batch(models, b)
                 total_time += time.perf_counter() - t0
                 yield batch, out
+        elif fused_k > 1 and hasattr(translator, "translate_batches_fused"):
+            # fused-K throughput: groups of K same-shape batches decode as
+            # ONE device program (the per-call dispatch floor is paid once
+            # per K); ragged tails fall back to per-batch decode
+            t0 = time.perf_counter()
+            group, originals = [], []
+
+            def flush():
+                nonlocal group
+                if len(group) == fused_k:
+                    outs = translator.translate_batches_fused(
+                        models, [b for _, b in group])
+                else:
+                    outs = [translator.translate_batch(models, b)
+                            for _, b in group]
+                for (orig, _), out in zip(group, outs):
+                    yield orig, out
+                group = []
+
+            def shape_of(b):
+                return tuple(f.shape for f in b["feats"])
+
+            for batch in loader:
+                b = to_device(batch)
+                if group and shape_of(group[0][1]) != shape_of(b):
+                    yield from flush()
+                group.append((batch, b))
+                if len(group) == fused_k:
+                    yield from flush()
+            yield from flush()
+            total_time += time.perf_counter() - t0
         else:
             # throughput: pipelined decode (2 programs in flight), timed
             # as wall clock over the whole stream
@@ -165,7 +200,7 @@ def main():
                             batch_size=batch_size, specific=specific)
         scores, detail, preds, total, n = run_eval(
             models, opt, loader, references, vocab, latency=args.latency,
-            ensemble_spec=ensemble_spec)
+            ensemble_spec=ensemble_spec, fused_k=args.fused_k)
         tag = f"n_frames={n_frames}" + (
             f" category={specific}" if specific != -1 else "")
         print(f"{tag}:", {k: round(v, 4) for k, v in scores.items()})
