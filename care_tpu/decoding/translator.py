@@ -296,7 +296,7 @@ class TranslatorNARFormer(Translator):
         self.beam_alpha = opt.get("beam_alpha", 1.0)
         self.length_bias = opt.get("length_bias", 0)
 
-    def _build_fn(self, model, variables_teacher, vocab_mapping):
+    def _make_run(self, model, vocab_mapping):
         opt = self.opt
         max_len = self.max_len
         paradigm = self.paradigm
@@ -394,7 +394,24 @@ class TranslatorNARFormer(Translator):
             # shape [N, 1, max_len], matching the reference's output layout
             return hyp, lp
 
-        return jax.jit(run)
+        return run
+
+    def _build_fn(self, model, variables_teacher, vocab_mapping):
+        return jax.jit(self._make_run(model, vocab_mapping))
+
+    def _build_fused_fn(self, model, vocab_mapping):
+        """K stacked same-shape batches in one program (see the AR
+        counterpart): dispatch floor paid once per K, single-batch
+        working set."""
+        run = self._make_run(model, vocab_mapping)
+
+        def run_many(variables, stacked_feats, stacked_aux,
+                     teacher_variables):
+            return jax.lax.map(
+                lambda fa: run(variables, fa[0], fa[1], teacher_variables),
+                (stacked_feats, stacked_aux))
+
+        return jax.jit(run_many)
 
     def dispatch(self, models, batch: Dict[str, Any],
                  teacher=None, vocab_mapping=None, **kwargs):
@@ -429,3 +446,36 @@ class TranslatorNARFormer(Translator):
         optional (captioner, variables) AR teacher for rescoring."""
         return self.collect(self.dispatch(models, batch, teacher=teacher,
                                           vocab_mapping=vocab_mapping))
+
+    def dispatch_fused(self, models, batches: List[Dict[str, Any]],
+                       teacher=None, vocab_mapping=None):
+        if isinstance(models, list):
+            assert len(models) == 1
+            model, variables = models[0]
+        else:
+            model, variables = models
+        teacher_obj, teacher_vars = (teacher if teacher is not None
+                                     else (None, None))
+        vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
+              else None)
+        K = len(batches)
+        key = (id(model), id(teacher_obj), self.paradigm, "fused", K)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = (
+                self._build_fused_fn((model, teacher_obj), vm),
+                (model, teacher_obj))
+        fn = self._jit_cache[key][0]
+        aux_list = [self._batch_inputs(b) for b in batches]
+        stacked_feats = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                     *[b["feats"] for b in batches])
+        stacked_aux = (jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
+                       if aux_list[0] else {})
+        return fn(variables, stacked_feats, stacked_aux,
+                  teacher_vars if teacher_vars is not None else {})
+
+    def translate_batches_fused(self, models, batches, teacher=None,
+                                vocab_mapping=None):
+        hyp, lp = self.dispatch_fused(models, batches, teacher=teacher,
+                                      vocab_mapping=vocab_mapping)
+        hyp, lp = np.asarray(hyp), np.asarray(lp)
+        return [self.collect((hyp[k], lp[k])) for k in range(len(batches))]

@@ -50,6 +50,19 @@ def test_ar_fused_k_batches_equals_sequential():
     assert fused == seq
 
 
+def test_nar_fused_k_batches_equals_sequential():
+    """NAR translate_batches_fused == per-batch translate_batch."""
+    opt = tiny_opt(method="NAB", vocab_size=40)
+    model, variables, _ = tiny_model_and_batch(opt)
+    tr = get_translator(opt)
+    batches = _batches(opt, 2)
+    models = [(model, variables)]
+
+    seq = [tr.translate_batch(models, b) for b in batches]
+    fused = tr.translate_batches_fused(models, batches)
+    assert fused == seq
+
+
 def test_nar_pipelined_equals_sequential():
     opt = tiny_opt(method="NAB", vocab_size=40)
     assert opt["decoding_type"] == "NARFormer"
