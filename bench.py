@@ -10,11 +10,14 @@ Honest methodology (round-2 upgrade):
   step with per-instance python ``Beam`` objects
   (``models/Translator.py:91-133``, no KV cache); we time that exact
   strategy.  The reference publishes no absolute numbers (BASELINE.md).
-* the headline value is serving throughput at batch 64 with depth-2 async
-  dispatch (the next batch is enqueued before the previous is drained),
-  which amortises the axon runtime's fixed per-program-call overhead
-  (~90 ms, measured in round 1 — an RPC/dispatch floor, not device time).
-  The synchronous per-batch number is reported alongside in ``detail``.
+* the headline value is SYNCHRONOUS serving throughput at batch 64 via the
+  fused K-batch program (round 3): one ``lax.map`` program decodes K
+  batches, so the runtime's fixed per-program overhead (~85 ms measured;
+  the trivial-dispatch floor alone is ~26 ms, both reported in ``detail``)
+  is paid once per K batches.  Depth-2 pipelined and per-batch sync
+  numbers are reported alongside; a bf16 serving datapoint (with token-
+  agreement honesty metrics) can take the headline only if caption-level
+  agreement with f32 is >= 99.5%.
 * ``detail.mfu_*`` reports model-FLOPs utilisation: an analytic FLOPs
   count per fused decode call (XLA's cost_analysis is also reported but
   only as a lower bound — it counts the beam while_loop body once) divided
@@ -177,7 +180,10 @@ def main():
     # (lax.map inside the jit), so the dispatch floor is paid once per K
     # batches even synchronously — the round-3 answer to amortising the
     # floor without async pipelining
-    K_FUSED = 4
+    # K=8: with per-batch device time ~77 ms and ~85 ms per-program
+    # overhead (measured round 3), 8 batches/program leaves ~11 ms/batch
+    # of amortised floor
+    K_FUSED = 8
     fused_sync_cps, fused_time, fused_err = None, None, None
     try:
         fused_fn = translator._build_fused_fn(models, (), False)
@@ -230,6 +236,56 @@ def main():
                            "batch": SMALL_BATCH, "beam": BEAM}, f)
         except Exception:
             pass
+
+    # ---- bf16 serving decode: params+activations in bfloat16 ----------
+    # (beam scores and softmax stay f32 at the logits boundary); halves
+    # the per-step weight traffic from HBM and doubles the MXU rate.
+    # Honesty metric: token agreement vs the f32 decode on the same batch.
+    bf16_detail = None
+    try:
+        opt_bf = dict(opt)
+        opt_bf["compute_dtype_decode"] = jnp.bfloat16
+        tr_bf = get_translator(opt_bf)
+
+        # agreement at batch 64 vs the f32 program above
+        compiled_bf64, args_bf64, _ = _build_decode_fn(tr_bf, models, batch)
+        out_bf = _drain(compiled_bf64(*args_bf64))
+        out_f32 = run_sync()
+        tok_bf, val_bf = out_bf[0], out_bf[3]
+        tok_f, val_f = out_f32[0], out_f32[3]
+        both = val_bf.astype(bool) & val_f.astype(bool)
+        eq = (tok_bf == tok_f).all(axis=-1)
+        agree = float(eq[both].mean()) if both.any() else 0.0
+        # per-token rate: whole-caption agreement compounds ~29 per-step
+        # decisions, so e.g. 0.59 caption-level ~ 0.982 per-token.  NOTE
+        # the bench model is untrained (near-uniform logits = worst-case
+        # tie density); no scalar "sharpening" can emulate a trained model
+        # here because beam ranking is invariant under logit scaling.
+        tok_eq = (tok_bf == tok_f)[both]
+        agree_tok = float(tok_eq.mean()) if both.any() else 0.0
+
+        # throughput: batch 512, fused K=2 (one program, floor paid once)
+        SBATCH, KS = 512, 2
+        batch_s = _synthetic_batch(opt, batch_size=SBATCH)
+        fused_bf = tr_bf._build_fused_fn(models, (), False)
+        stacked_s = [jnp.stack([f] * KS) for f in batch_s["feats"]]
+        sargs = ([variables], stacked_s, {})
+        compiled_sbf = fused_bf.lower(*sargs).compile()
+        _drain(compiled_sbf(*sargs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _drain(compiled_sbf(*sargs))
+        t_sbf = (time.perf_counter() - t0) / 3
+        bf16_detail = {
+            # untrained model = worst case: every candidate is a near-tie
+            "caption_agreement_vs_f32_batch64": round(agree, 4),
+            "per_token_agreement_vs_f32": round(agree_tok, 4),
+            "batch": SBATCH, "fused_k": KS,
+            "sync_caps_per_s": round(KS * SBATCH / t_sbf, 2),
+            "s_per_call": round(t_sbf, 4),
+        }
+    except Exception as e:
+        bf16_detail = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- flash vs XLA attention at the SwinBERTDense key length -------
     # proves the pallas kernel compiled on this chip, matched the fused
@@ -313,6 +369,15 @@ def main():
     decode_tokens = BATCH * BEAM * (opt["max_len"] - 1)
 
     best_cps = max(pipe_cps, fused_sync_cps or 0.0)
+    headline_mode = (f"fused_sync_k{K_FUSED}"
+                     if best_cps != pipe_cps else "pipelined")
+    # bf16 serving joins the headline only if caption-level agreement with
+    # the f32 decode is near-perfect (quality-neutral speedup)
+    if (isinstance(bf16_detail, dict) and "error" not in bf16_detail
+            and bf16_detail["caption_agreement_vs_f32_batch64"] >= 0.995
+            and bf16_detail["sync_caps_per_s"] > best_cps):
+        best_cps = bf16_detail["sync_caps_per_s"]
+        headline_mode = "bf16_fused_sync_b512_k2"
     result = {
         "metric": "captions_per_sec_beam5",
         "value": round(best_cps, 2),
@@ -321,16 +386,16 @@ def main():
         "vs_baseline": round(ours8_cps / ref_cps, 2),
         "detail": {
             "batch": BATCH, "beam": BEAM, "max_len": opt["max_len"],
-            "headline_mode": ("fused_sync_k4"
-                              if best_cps != pipe_cps else "pipelined"),
+            "headline_mode": headline_mode,
             "pipelined_caps_per_s": round(pipe_cps, 2),
             "sync_caps_per_s": round(sync_cps, 2),
             "sync_s_per_batch": round(sync_time, 4),
-            "fused_sync_k4_caps_per_s": (round(fused_sync_cps, 2)
+            "fused_sync_caps_per_s": (round(fused_sync_cps, 2)
                                          if fused_sync_cps else fused_err),
-            "fused_sync_k4_s_per_call": (round(fused_time, 4)
+            "fused_sync_s_per_call": (round(fused_time, 4)
                                          if fused_time else None),
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
+            "bf16_serving": bf16_detail,
             "flash_attention_lk1568": flash_detail,
             "large_arch": large_detail,
             "ours_batch8_caps_per_s": round(ours8_cps, 2),
