@@ -256,13 +256,20 @@ def main():
         both = val_bf.astype(bool) & val_f.astype(bool)
         eq = (tok_bf == tok_f).all(axis=-1)
         agree = float(eq[both].mean()) if both.any() else 0.0
-        # per-token rate: whole-caption agreement compounds ~29 per-step
-        # decisions, so e.g. 0.59 caption-level ~ 0.982 per-token.  NOTE
-        # the bench model is untrained (near-uniform logits = worst-case
-        # tie density); no scalar "sharpening" can emulate a trained model
+        # per-token rate over REAL positions only: the beam zero-pads past
+        # hyp_length, and counting the always-equal padded tail would
+        # inflate the rate.  Positions past the shorter hypothesis count
+        # as disagreement (length mismatch IS disagreement).  NOTE the
+        # bench model is untrained (near-uniform logits = worst-case tie
+        # density); no scalar "sharpening" can emulate a trained model
         # here because beam ranking is invariant under logit scaling.
-        tok_eq = (tok_bf == tok_f)[both]
-        agree_tok = float(tok_eq.mean()) if both.any() else 0.0
+        len_bf, len_f = out_bf[2], out_f32[2]
+        pos = np.arange(tok_bf.shape[-1])
+        real = pos[None, None, :] < np.maximum(len_bf, len_f)[..., None]
+        real &= both[..., None]
+        tok_same = (tok_bf == tok_f) \
+            & (pos[None, None, :] < np.minimum(len_bf, len_f)[..., None])
+        agree_tok = (float(tok_same[real].mean()) if real.any() else 0.0)
 
         # throughput: batch 512, fused K=2 (one program, floor paid once)
         SBATCH, KS = 512, 2
@@ -391,7 +398,8 @@ def main():
             "sync_caps_per_s": round(sync_cps, 2),
             "sync_s_per_batch": round(sync_time, 4),
             "fused_sync_caps_per_s": (round(fused_sync_cps, 2)
-                                         if fused_sync_cps else fused_err),
+                                      if fused_sync_cps else None),
+            "fused_sync_error": fused_err,
             "fused_sync_s_per_call": (round(fused_time, 4)
                                          if fused_time else None),
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),

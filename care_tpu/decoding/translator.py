@@ -41,6 +41,16 @@ def auto_enlarge(tree, beam_size: int):
         tree, is_leaf=lambda x: x is None)
 
 
+def _vm_fingerprint(vm):
+    """Cache-key component for a vocab-mapping array: the mapping is baked
+    into the compiled closure, so two different mappings must never share a
+    cache entry."""
+    if vm is None:
+        return None
+    arr = np.asarray(vm)
+    return (arr.shape, hash(arr.tobytes()))
+
+
 class Translator:
     def __init__(self, opt: dict):
         self.opt = opt
@@ -425,7 +435,8 @@ class TranslatorNARFormer(Translator):
                                      else (None, None))
         vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
               else None)
-        key = (id(model), id(teacher_obj), self.paradigm)
+        key = (id(model), id(teacher_obj), self.paradigm,
+               _vm_fingerprint(vm))
         if key not in self._jit_cache:
             # strong refs: see TranslatorARFormer.dispatch
             self._jit_cache[key] = (
@@ -459,7 +470,8 @@ class TranslatorNARFormer(Translator):
         vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
               else None)
         K = len(batches)
-        key = (id(model), id(teacher_obj), self.paradigm, "fused", K)
+        key = (id(model), id(teacher_obj), self.paradigm, "fused", K,
+               _vm_fingerprint(vm))
         if key not in self._jit_cache:
             self._jit_cache[key] = (
                 self._build_fused_fn((model, teacher_obj), vm),

@@ -136,3 +136,32 @@ def test_run_eval_fused_k_matches_pipelined(tmp_path):
     assert n1 == n2
     assert p1 == p2
     assert s1 == s2
+
+
+def test_nar_vocab_mapping_not_cached_across_mappings():
+    """Two dispatches with DIFFERENT vocab mappings must compile two
+    programs (the mapping is baked into the closure); identity mapping
+    must equal no mapping."""
+    import numpy as np
+    opt = tiny_opt(method="NAB", vocab_size=40)
+    opt["masking_decision"] = True
+    model, variables, _ = tiny_model_and_batch(opt)
+    tr = get_translator(opt)
+    batch = _batches(opt, 1)[0]
+    models = [(model, variables)]
+    teacher = (model, variables)
+
+    vm_id = np.arange(40, dtype=np.int64)
+    vm_perm = np.concatenate([np.arange(6), 6 + np.random.RandomState(0)
+                              .permutation(34)]).astype(np.int64)
+
+    out_plain = tr.translate_batch(models, batch, teacher=teacher)
+    n0 = len(tr._jit_cache)
+    out_id = tr.translate_batch(models, batch, teacher=teacher,
+                                vocab_mapping=vm_id)
+    assert len(tr._jit_cache) == n0 + 1
+    out_perm = tr.translate_batch(models, batch, teacher=teacher,
+                                  vocab_mapping=vm_perm)
+    assert len(tr._jit_cache) == n0 + 2  # the round-3 cache-key fix
+    assert out_id == out_plain  # identity mapping is a semantic no-op
+    assert out_perm != out_id   # permuted mapping changes teacher scores

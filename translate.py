@@ -60,7 +60,7 @@ def parse_args(argv=None):
     p.add_argument("--fused_k", type=int, default=0,
                    help="decode groups of K same-shape batches as one "
                         "device program (amortises the per-call dispatch "
-                        "floor; AR decoding only)")
+                        "floor; AR and NAR decoding)")
     return p.parse_args(argv)
 
 
@@ -100,7 +100,7 @@ def run_eval(models, opt, loader, references, vocab, latency=False,
             # ONE device program (the per-call dispatch floor is paid once
             # per K); ragged tails fall back to per-batch decode
             t0 = time.perf_counter()
-            group, originals = [], []
+            group = []
 
             def flush():
                 nonlocal group
@@ -115,7 +115,12 @@ def run_eval(models, opt, loader, references, vocab, latency=False,
                 group = []
 
             def shape_of(b):
-                return tuple(f.shape for f in b["feats"])
+                # feats may be a list of per-model feats lists
+                # (heterogeneous ensembles after split_feats)
+                def rec(f):
+                    return (tuple(rec(x) for x in f)
+                            if isinstance(f, (list, tuple)) else f.shape)
+                return rec(b["feats"])
 
             for batch in loader:
                 b = to_device(batch)
