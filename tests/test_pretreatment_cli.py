@@ -171,7 +171,7 @@ def test_image_feats_cnn_cli(tmp_path):
         [sys.executable, "pretreatment_cli.py", "image_feats",
          "--frames_dir", str(frames_dir), "--model", "resnet18",
          "--cnn_ckpt", str(ckpt), "--k", "3", "--out", str(out)],
-        cwd=_repo(), capture_output=True, text=True, timeout=400)
+        cwd=_repo(), capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     with h5py.File(out) as hf:
         assert set(hf.keys()) == {"video0", "video1"}
@@ -215,7 +215,7 @@ def test_text_embs_bert_cli(tmp_path):
          "--corpus_dir", str(corpus_dir), "--arch", "bert",
          "--bert_ckpt", str(ckpt), "--vocab", str(vocab_file),
          "--mode", "mean", "--out", str(out)],
-        cwd=_repo(), capture_output=True, text=True, timeout=400)
+        cwd=_repo(), capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     with h5py.File(out) as hf:
         assert hf["video0"].shape == (1, 16)
