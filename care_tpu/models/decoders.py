@@ -332,10 +332,15 @@ class TransformerDecoder(nn.Module):
         h = x
         for layer, st in zip(self.layers, state["layers"]):
             k_new, v_new = layer.prefill_self_kv(h, preds_attr=aux["preds_attr"])
+            # half-precision decode: intermediate ops may up/down-cast, but
+            # the cache dtype is authoritative (dynamic_update_slice
+            # requires exact dtype match)
             self_k = jax.lax.dynamic_update_slice(
-                st["self_k"], k_new, (0, 0, cache_pos, 0))
+                st["self_k"], k_new.astype(st["self_k"].dtype),
+                (0, 0, cache_pos, 0))
             self_v = jax.lax.dynamic_update_slice(
-                st["self_v"], v_new, (0, 0, cache_pos, 0))
+                st["self_v"], v_new.astype(st["self_v"].dtype),
+                (0, 0, cache_pos, 0))
             # RPE rows select by the position in the full (prefix + words)
             # sequence
             h = layer.step(h, cache_pos, (self_k, self_v), st["inter_kv"],

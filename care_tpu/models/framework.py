@@ -270,9 +270,14 @@ class Captioner(nn.Module):
     def init_decode_state(self, inputs_for_decoder: Dict[str, Any],
                           max_len: int) -> Dict[str, Any]:
         enc = inputs_for_decoder["encoder_hidden_states"]
-        bsz = enc[0].shape[0] if isinstance(enc, (list, tuple)) else enc.shape[0]
+        enc0 = enc[0] if isinstance(enc, (list, tuple)) else enc
+        bsz = enc0.shape[0]
         return self.decoder.init_decode_state(
             batch_size=bsz, max_len=max_len,
+            # cache dtype follows the activations so half-precision decode
+            # (compute_dtype_decode) gets a bf16 KV cache, not an f32 one
+            # that dynamic_update_slice would reject
+            dtype=enc0.dtype,
             encoder_hidden_states=enc,
             semantic_embs=inputs_for_decoder.get("semantic_embs"),
             semantic_hidden_states=inputs_for_decoder.get("semantic_hidden_states"),
