@@ -38,3 +38,25 @@ def test_padding_never_selected():
     x = x.at[0, 1029].set(5.0).at[0, 0].set(4.0)
     v, i = hierarchical_top_k(x, 2, chunk_size=512)
     assert sorted(np.asarray(i)[0].tolist()) == [0, 1029]
+
+
+@pytest.mark.parametrize("k", [9, 16])
+def test_large_k_chunked_path_matches(k):
+    """k above the iterative threshold goes through the chunked two-stage
+    path; still exact."""
+    x = jnp.asarray(np.random.RandomState(1).randn(5, 20000), jnp.float32)
+    vw, iw = jax.lax.top_k(x, k)
+    vh, ih = hierarchical_top_k(x, k, chunk_size=1024)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
+
+
+def test_iterative_multi_leading_dims_and_ties():
+    from care_tpu.ops.topk import _iterative_top_k
+    rs = np.random.RandomState(2)
+    x = rs.randn(3, 4, 9000).astype(np.float32)
+    x[:, :, 17] = x[:, :, 18] = 7.5  # exact ties
+    vw, iw = jax.lax.top_k(jnp.asarray(x), 4)
+    vh, ih = _iterative_top_k(jnp.asarray(x), 4)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
