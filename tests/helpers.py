@@ -123,3 +123,19 @@ def python_reference_beam(step_logprobs_fn, batch_size, beam_size, max_len,
         hyps.append([it[2][:it[1]] for it in ranked])
         hscores.append([it[0] / it[1] ** alpha for it in ranked])
     return hyps, hscores
+
+
+def cpu_subprocess_env(extra=None):
+    """Environment for CLI subprocesses that must NEVER touch the TPU
+    tunnel: unsetting PALLAS_AXON_POOL_IPS stops the axon sitecustomize
+    from registering the PJRT plugin (each registration opens its OWN
+    tunnel session and can block for minutes behind the parent's lease —
+    the source of intermittent multi-minute CLI-test hangs), and
+    JAX_PLATFORMS=cpu covers ordinary platforms."""
+    import os
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    if extra:
+        env.update(extra)
+    return env

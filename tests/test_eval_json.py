@@ -5,6 +5,8 @@ import json
 import os
 import pickle
 import subprocess
+
+from helpers import cpu_subprocess_env
 import sys
 
 
@@ -24,7 +26,7 @@ def test_eval_json_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, "eval_json.py", "-json", str(json_path),
          "-ref", str(ref_path)],
-        cwd=repo, capture_output=True, text=True, timeout=200)
+        cwd=repo, env=cpu_subprocess_env(), capture_output=True, text=True, timeout=200)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = dict(l.split(": ") for l in r.stdout.strip().splitlines()
                  if ": " in l)

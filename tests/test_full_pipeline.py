@@ -72,8 +72,8 @@ def test_cli_train_and_translate(tmp_path):
     opt["dim_m"], opt["dim_i"] = 16, 16
     root, paths, corpus, refs = write_synthetic_dataset(str(tmp_path), opt,
                                                         n_videos=15)
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    from helpers import cpu_subprocess_env
+    env = cpu_subprocess_env()
     override_json = json.dumps({
         "dim_m": 16, "dim_i": 16,
         "feats_m_name": ["synthetic_m.hdf5"],

@@ -5,6 +5,8 @@ import json
 import os
 import pickle
 import subprocess
+
+from helpers import cpu_subprocess_env
 import sys
 
 import numpy as np
@@ -35,7 +37,7 @@ def test_corpora_cli_then_loader(tmp_path):
         [sys.executable, "pretreatment_cli.py", "corpora",
          "--dataset", "MSRVTT", "--annotation", str(ann),
          "--out_dir", str(out_dir), "--count_thr", "0"],
-        cwd=_repo(), capture_output=True, text=True, timeout=200)
+        cwd=_repo(), env=cpu_subprocess_env(), capture_output=True, text=True, timeout=200)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out_dir / "info_corpus.pkl").exists()
     assert (out_dir / "refs.pkl").exists()
@@ -109,7 +111,7 @@ def test_retrieval_cli(tmp_path):
          "--text_embs", str(out_dir / "txt.hdf5"),
          "--out", str(out_dir / "ret.hdf5"), "--topk", "3",
          "--n_frames", "8"],
-        cwd=_repo(), capture_output=True, text=True, timeout=300)
+        cwd=_repo(), env=cpu_subprocess_env(), capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     with h5py.File(out_dir / "ret.hdf5") as hf:
         assert hf["video0"].shape == (3, 16)
@@ -132,7 +134,7 @@ def test_glove_cli(tmp_path):
          "--glove_txt", str(tmp_path / "glove.txt"),
          "--corpus_dir", str(tmp_path),
          "--out", str(tmp_path / "embs.npy")],
-        cwd=_repo(), capture_output=True, text=True, timeout=200)
+        cwd=_repo(), env=cpu_subprocess_env(), capture_output=True, text=True, timeout=200)
     assert r.returncode == 0, r.stderr[-2000:]
     table = np.load(tmp_path / "embs.npy")
     assert table.shape == (len(itow), 3)
@@ -171,7 +173,7 @@ def test_image_feats_cnn_cli(tmp_path):
         [sys.executable, "pretreatment_cli.py", "image_feats",
          "--frames_dir", str(frames_dir), "--model", "resnet18",
          "--cnn_ckpt", str(ckpt), "--k", "3", "--out", str(out)],
-        cwd=_repo(), capture_output=True, text=True, timeout=560)
+        cwd=_repo(), env=cpu_subprocess_env(), capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     with h5py.File(out) as hf:
         assert set(hf.keys()) == {"video0", "video1"}
@@ -215,7 +217,7 @@ def test_text_embs_bert_cli(tmp_path):
          "--corpus_dir", str(corpus_dir), "--arch", "bert",
          "--bert_ckpt", str(ckpt), "--vocab", str(vocab_file),
          "--mode", "mean", "--out", str(out)],
-        cwd=_repo(), capture_output=True, text=True, timeout=560)
+        cwd=_repo(), env=cpu_subprocess_env(), capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     with h5py.File(out) as hf:
         assert hf["video0"].shape == (1, 16)
