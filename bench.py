@@ -368,6 +368,41 @@ def main():
     except Exception as e:
         large_detail = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- NAR decode (NAB config: length-beam + MaskPredict) -----------
+    nar_detail = None
+    try:
+        from care_tpu.config import get_opt
+        opt_n = get_opt({"dataset": "MSRVTT", "method": "NAB",
+                         "task": "Base", "feats": "ViT", "modality": "mi",
+                         "vocab_size": 11000,
+                         "final_overrides": {"iterations": 5,
+                                             "length_beam_size": 6,
+                                             "na_length_range": [5, 11]}},
+                        read_vocab=False, resolve_paths=False)
+        opt_n["dim_m"], opt_n["dim_i"] = 2048, 512
+        model_n = build_captioner(opt_n)
+        batch_n = _synthetic_batch(opt_n, batch_size=BATCH)
+        small_n = {"feats": [f[:1] for f in batch_n["feats"]],
+                   "input_ids": batch_n["input_ids"][:1]}
+        vars_n = model_n.init({"params": rng, "dropout": rng}, small_n,
+                              deterministic=True)
+        tr_n = get_translator(opt_n)
+        fn_n = tr_n._build_fn((model_n, None), None, None)
+        nargs = (vars_n, batch_n["feats"], {}, {})
+        c_n = fn_n.lower(*nargs).compile()
+        _drain(c_n(*nargs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _drain(c_n(*nargs))
+        t_n = (time.perf_counter() - t0) / 3
+        nar_detail = {"batch": BATCH,
+                      "length_beam": opt_n["na_length_range"],
+                      "iterations": opt_n["iterations"],
+                      "sync_caps_per_s": round(BATCH / t_n, 2),
+                      "sync_s_per_batch": round(t_n, 4)}
+    except Exception as e:
+        nar_detail = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- jitted train step (forward + multi-task loss + grads + Adam) --
     # chained param updates execute back-to-back on device, so draining
     # the last one after N enqueues measures device time + floor/N — an
@@ -449,6 +484,7 @@ def main():
             "bf16_serving": bf16_detail,
             "flash_attention_lk1568": flash_detail,
             "large_arch": large_detail,
+            "nar_decode": nar_detail,
             "train_step": train_detail,
             "ours_batch8_caps_per_s": round(ours8_cps, 2),
             "reference_execution_model_batch8_caps_per_s": round(ref_cps, 2),
