@@ -78,6 +78,40 @@ class Translator:
             b, out = pending.popleft()
             yield b, self.collect(out)
 
+    def translate_batches_grouped(self, models, tagged_batches,
+                                  fused_k: int, **kwargs):
+        """Decode an iterable of ``(tag, device_batch)`` pairs in groups of
+        ``fused_k`` same-shape batches, each group as ONE device program
+        (``translate_batches_fused``); ragged tails fall back to per-batch
+        decode.  Yields ``(tag, (hyps, scores))`` in input order —
+        identical results to per-batch ``translate_batch``."""
+        group = []
+
+        def shape_of(b):
+            def rec(f):
+                return (tuple(rec(x) for x in f)
+                        if isinstance(f, (list, tuple)) else f.shape)
+            return rec(b["feats"])
+
+        def flush():
+            if len(group) == fused_k:
+                outs = self.translate_batches_fused(
+                    models, [b for _, b in group], **kwargs)
+            else:
+                outs = [self.translate_batch(models, b, **kwargs)
+                        for _, b in group]
+            for (tag, _), out in zip(group, outs):
+                yield tag, out
+            group.clear()
+
+        for tag, b in tagged_batches:
+            if group and shape_of(group[0][1]) != shape_of(b):
+                yield from flush()
+            group.append((tag, b))
+            if len(group) == fused_k:
+                yield from flush()
+        yield from flush()
+
 
 class TranslatorARFormer(Translator):
     """Batched beam search with KV cache (replaces ``Translator_ARFormer``)."""
@@ -255,10 +289,12 @@ class TranslatorARFormer(Translator):
                        if aux_list[0] else {})
         return fn(all_variables, stacked_feats, stacked_aux)
 
-    def translate_batches_fused(self, models, batches: List[Dict[str, Any]]):
+    def translate_batches_fused(self, models, batches: List[Dict[str, Any]],
+                                **kwargs):
         """Decode K same-shape batches in one program; returns a list of
         per-batch (hyps, scores) — identical to per-batch translate_batch,
-        with the per-call dispatch floor paid once."""
+        with the per-call dispatch floor paid once.  Extra kwargs (teacher
+        etc.) are ignored like in ``translate_batch``."""
         out = self.dispatch_fused(models, batches)
         arrays = [np.asarray(o) for o in out]
         return [self.collect(tuple(a[k] for a in arrays))

@@ -500,20 +500,37 @@ class Trainer:
         if run_concept_metrics and self._eval_metrics_fn is None:
             self._eval_metrics_fn = self._make_eval_metrics_fn()
         tracker = MetricTracker()
-        # pipelined decode: up to 2 fused programs in flight, so device
-        # work overlaps host post-processing + per-call dispatch overhead
-        originals = []
+        # fused-K decode (default): groups of eval_fused_k same-shape
+        # batches run as ONE device program, paying the per-call dispatch
+        # floor once per K (bench: ~2.7x the depth-2 pipelined rate);
+        # eval_fused_k <= 1 falls back to the pipelined path
+        fused_k = int(self.opt.get("eval_fused_k", 4))
+        models = [(self.model, self.variables)]
+        tkw = self._teacher_kwargs()
 
-        def device_batches():
+        def tagged():
             for b in loader:
-                originals.append(b)
-                yield device_batch(b)
+                db = device_batch(b)
+                yield (b, db), db
 
-        for i, (db, (hyps, scores)) in enumerate(
-                self.translator.translate_batches(
-                    [(self.model, self.variables)], device_batches(),
-                    **self._teacher_kwargs())):
-            batch = originals[i]
+        if fused_k > 1 and hasattr(self.translator,
+                                   "translate_batches_fused"):
+            stream = self.translator.translate_batches_grouped(
+                models, tagged(), fused_k, **tkw)
+        else:
+            originals = []
+
+            def device_batches():
+                for b in loader:
+                    db = device_batch(b)
+                    originals.append((b, db))
+                    yield db
+
+            stream = (((originals[i]), out) for i, (_, out) in enumerate(
+                self.translator.translate_batches(models, device_batches(),
+                                                  **tkw)))
+
+        for (batch, db), (hyps, scores) in stream:
             preds.update(self._collect_preds(batch, hyps, scores))
             if run_concept_metrics and "labels_attr" in batch:
                 m = self._eval_metrics_fn(self.variables, db)

@@ -100,36 +100,9 @@ def run_eval(models, opt, loader, references, vocab, latency=False,
             # ONE device program (the per-call dispatch floor is paid once
             # per K); ragged tails fall back to per-batch decode
             t0 = time.perf_counter()
-            group = []
-
-            def flush():
-                nonlocal group
-                if len(group) == fused_k:
-                    outs = translator.translate_batches_fused(
-                        models, [b for _, b in group])
-                else:
-                    outs = [translator.translate_batch(models, b)
-                            for _, b in group]
-                for (orig, _), out in zip(group, outs):
-                    yield orig, out
-                group = []
-
-            def shape_of(b):
-                # feats may be a list of per-model feats lists
-                # (heterogeneous ensembles after split_feats)
-                def rec(f):
-                    return (tuple(rec(x) for x in f)
-                            if isinstance(f, (list, tuple)) else f.shape)
-                return rec(b["feats"])
-
-            for batch in loader:
-                b = to_device(batch)
-                if group and shape_of(group[0][1]) != shape_of(b):
-                    yield from flush()
-                group.append((batch, b))
-                if len(group) == fused_k:
-                    yield from flush()
-            yield from flush()
+            tagged = ((batch, to_device(batch)) for batch in loader)
+            yield from translator.translate_batches_grouped(
+                models, tagged, fused_k)
             total_time += time.perf_counter() - t0
         else:
             # throughput: pipelined decode (2 programs in flight), timed
