@@ -441,7 +441,10 @@ def main():
             "batch": BATCH,
             "device_s_per_step": round(t_chain, 5),
             "samples_per_s": round(BATCH / t_chain, 1),
-            "note": "chained enqueue, floor amortised over 20 steps",
+            "note": "chained enqueue, floor amortised over 20 steps; "
+                    "core step only (deterministic fwd, no dropout/"
+                    "scheduled-sampling/aux collection, plain Adam) — an "
+                    "upper bound on configured-trainer throughput",
         }
     except Exception as e:
         train_detail = {"error": f"{type(e).__name__}: {e}"}

@@ -94,13 +94,17 @@ class Translator:
             return rec(b["feats"])
 
         def flush():
-            if len(group) == fused_k:
-                outs = self.translate_batches_fused(
-                    models, [b for _, b in group], **kwargs)
-            else:
-                outs = [self.translate_batch(models, b, **kwargs)
-                        for _, b in group]
-            for (tag, _), out in zip(group, outs):
+            # partial groups are PADDED to fused_k by repeating the last
+            # batch (extras discarded): one fused program per shape is the
+            # only compile surface — a per-batch fallback program would
+            # cost a multi-minute tunnel compile to serve a few leftovers
+            if not group:
+                return
+            n = len(group)
+            batches = [b for _, b in group]
+            batches += [batches[-1]] * (fused_k - n)
+            outs = self.translate_batches_fused(models, batches, **kwargs)
+            for (tag, _), out in zip(group, outs[:n]):
                 yield tag, out
             group.clear()
 

@@ -26,16 +26,23 @@ _ITERATIVE_MAX_K = 8
 
 
 def _iterative_top_k(x, k: int):
-    """k sequential (argmax, mask) passes; exact, lax.top_k tie order."""
+    """k sequential max-reduction passes; exact lax.top_k semantics —
+    lowest-index-first ties AND distinct indices even when a row has fewer
+    than k entries above -inf (an explicit ``used`` mask disambiguates
+    already-picked -inf entries from never-picked ones, where a plain
+    argmax-and-mask loop would return duplicate index 0)."""
     V = x.shape[-1]
     ar = jnp.arange(V)
-    cur = x
+    used = jnp.zeros(x.shape, dtype=bool)
     vals, idxs = [], []
     for _ in range(k):
-        i = jnp.argmax(cur, axis=-1)
+        cur = jnp.where(used, NEG, x)
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        cand = (cur == m) & ~used
+        i = jnp.argmin(jnp.where(cand, ar, V), axis=-1)
         vals.append(jnp.take_along_axis(cur, i[..., None], axis=-1))
         idxs.append(i[..., None])
-        cur = jnp.where(ar == i[..., None], NEG, cur)
+        used = used | (ar == i[..., None])
     return (jnp.concatenate(vals, axis=-1),
             jnp.concatenate(idxs, axis=-1))
 

@@ -518,17 +518,20 @@ class Trainer:
             stream = self.translator.translate_batches_grouped(
                 models, tagged(), fused_k, **tkw)
         else:
+            # keep only host batches alive across the pass; the device
+            # batch rides through translate_batches and is released per
+            # iteration (retaining every db would pin HBM for the whole
+            # validation set)
             originals = []
 
             def device_batches():
                 for b in loader:
-                    db = device_batch(b)
-                    originals.append((b, db))
-                    yield db
+                    originals.append(b)
+                    yield device_batch(b)
 
-            stream = (((originals[i]), out) for i, (_, out) in enumerate(
-                self.translator.translate_batches(models, device_batches(),
-                                                  **tkw)))
+            stream = (((originals[i], db), out) for i, (db, out) in
+                      enumerate(self.translator.translate_batches(
+                          models, device_batches(), **tkw)))
 
         for (batch, db), (hyps, scores) in stream:
             preds.update(self._collect_preds(batch, hyps, scores))

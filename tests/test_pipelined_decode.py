@@ -92,7 +92,10 @@ def test_trainer_validate_pipelined(tmp_path):
     trainer.init_model(next(iter(train_loader)))
     trainer._build_tx(len(train_loader))
 
-    scores_a = trainer.validate(0)
+    scores_a = trainer.validate(0)          # fused-K default path
+    trainer.opt["eval_fused_k"] = 1
+    scores_p = trainer.validate(0)          # pipelined fallback path
+    trainer.opt["eval_fused_k"] = 4
     # sequential per-batch path through translate_step
     preds = {}
     for batch in val_loader:
@@ -101,6 +104,7 @@ def test_trainer_validate_pipelined(tmp_path):
     scores_b, _ = COCOScorer().score(refs, preds, list(preds.keys()))
     for k in ("Bleu_4", "CIDEr", "ROUGE_L", "METEOR"):
         assert abs(scores_a[k] - scores_b[k]) < 1e-9, (k, scores_a, scores_b)
+        assert abs(scores_p[k] - scores_b[k]) < 1e-9, (k, scores_p, scores_b)
 
 
 def test_run_eval_fused_k_matches_pipelined(tmp_path):

@@ -60,3 +60,17 @@ def test_iterative_multi_leading_dims_and_ties():
     vh, ih = _iterative_top_k(jnp.asarray(x), 4)
     np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
+
+
+def test_iterative_rows_with_fewer_than_k_finite_entries():
+    """All--inf tails must yield DISTINCT indices in lax.top_k order
+    (a plain argmax+mask loop would return duplicate index 0)."""
+    from care_tpu.ops.topk import _iterative_top_k
+    x = np.full((2, 9000), -np.inf, np.float32)
+    x[0, 10], x[0, 20] = 1.0, 0.5
+    x[1, 8999] = 2.0
+    vw, iw = jax.lax.top_k(jnp.asarray(x), 5)
+    vh, ih = _iterative_top_k(jnp.asarray(x), 5)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
+    assert len(set(np.asarray(ih)[0].tolist())) == 5  # distinct
