@@ -107,8 +107,11 @@ def beam_search(
 
         flat = beam_lk.reshape(N, K * V)
         # exact two-stage top-k: lax.top_k over 55k-wide axes is a compile-
-        # time and runtime hazard on TPU (see ops/topk.py)
-        best_scores, best_ids = hierarchical_top_k(flat, K)   # [N, K]
+        # time and runtime hazard on TPU (see ops/topk.py).  assume_finite
+        # holds: scores are finite (DEAD = -1e20, not -inf) and
+        # log_softmax/log(probs+eps) of finite inputs never yields -inf
+        best_scores, best_ids = hierarchical_top_k(
+            flat, K, assume_finite=True)                      # [N, K]
         prev_k = best_ids // V
         new_tok = best_ids - prev_k * V
 

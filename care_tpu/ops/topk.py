@@ -25,35 +25,52 @@ NEG = -jnp.inf
 _ITERATIVE_MAX_K = 8
 
 
-def _iterative_top_k(x, k: int):
+def _iterative_top_k(x, k: int, assume_finite: bool = False):
     """k sequential max-reduction passes; exact lax.top_k semantics —
     lowest-index-first ties AND distinct indices even when a row has fewer
     than k entries above -inf (an explicit ``used`` mask disambiguates
     already-picked -inf entries from never-picked ones, where a plain
-    argmax-and-mask loop would return duplicate index 0)."""
+    argmax-and-mask loop would return duplicate index 0).
+
+    ``assume_finite=True`` drops the used-mask bookkeeping (2 fewer
+    streaming passes per pick, ~6% of the whole fused decode call): valid
+    only when every input is > -inf, so a picked entry masked to -inf can
+    never tie an original value. The beam-search caller guarantees this
+    (dead rows are masked with a finite -1e20)."""
     V = x.shape[-1]
     ar = jnp.arange(V)
-    used = jnp.zeros(x.shape, dtype=bool)
     vals, idxs = [], []
-    for _ in range(k):
-        cur = jnp.where(used, NEG, x)
-        m = jnp.max(cur, axis=-1, keepdims=True)
-        cand = (cur == m) & ~used
-        i = jnp.argmin(jnp.where(cand, ar, V), axis=-1)
-        vals.append(jnp.take_along_axis(cur, i[..., None], axis=-1))
-        idxs.append(i[..., None])
-        used = used | (ar == i[..., None])
+    if assume_finite:
+        cur = x
+        for _ in range(k):
+            i = jnp.argmax(cur, axis=-1)
+            vals.append(jnp.take_along_axis(cur, i[..., None], axis=-1))
+            idxs.append(i[..., None])
+            cur = jnp.where(ar == i[..., None], NEG, cur)
+    else:
+        used = jnp.zeros(x.shape, dtype=bool)
+        for _ in range(k):
+            cur = jnp.where(used, NEG, x)
+            m = jnp.max(cur, axis=-1, keepdims=True)
+            cand = (cur == m) & ~used
+            i = jnp.argmin(jnp.where(cand, ar, V), axis=-1)
+            vals.append(jnp.take_along_axis(cur, i[..., None], axis=-1))
+            idxs.append(i[..., None])
+            used = used | (ar == i[..., None])
     return (jnp.concatenate(vals, axis=-1),
             jnp.concatenate(idxs, axis=-1))
 
 
-def hierarchical_top_k(x, k: int, chunk_size: int = 1024):
-    """x: [..., V] -> (values [..., k], indices [..., k]); exact."""
+def hierarchical_top_k(x, k: int, chunk_size: int = 1024,
+                       assume_finite: bool = False):
+    """x: [..., V] -> (values [..., k], indices [..., k]); exact.
+    ``assume_finite``: caller guarantees x > -inf everywhere (see
+    ``_iterative_top_k``)."""
     *lead, V = x.shape
     if V <= max(chunk_size, 4 * k):
         return jax.lax.top_k(x, k)
     if k <= _ITERATIVE_MAX_K:
-        return _iterative_top_k(x, k)
+        return _iterative_top_k(x, k, assume_finite=assume_finite)
 
     C = -(-V // chunk_size)
     pad = C * chunk_size - V

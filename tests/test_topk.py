@@ -74,3 +74,16 @@ def test_iterative_rows_with_fewer_than_k_finite_entries():
     np.testing.assert_array_equal(np.asarray(vw), np.asarray(vh))
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ih))
     assert len(set(np.asarray(ih)[0].tolist())) == 5  # distinct
+
+
+def test_assume_finite_matches_exact_on_finite_inputs():
+    from care_tpu.ops.topk import _iterative_top_k
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(6, 30000).astype(np.float32) * 100)
+    v1, i1 = _iterative_top_k(x, 5)
+    v2, i2 = _iterative_top_k(x, 5, assume_finite=True)
+    vw, iw = jax.lax.top_k(x, 5)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(vw))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vw))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(iw))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(iw))
