@@ -350,8 +350,20 @@ class TranslatorNARFormer(Translator):
         opt = self.opt
         max_len = self.max_len
         paradigm = self.paradigm
+        compute_dtype = opt.get("compute_dtype_decode", None)
 
         def run(variables, feats, batch_aux, teacher_variables):
+            if compute_dtype is not None:
+                # half-precision NAR decode (like the AR path): params +
+                # activations bf16, logits cast back to f32 at the
+                # softmax/argmax boundary inside the algorithms
+                cast = lambda x: (x.astype(compute_dtype)
+                                  if hasattr(x, "dtype")
+                                  and jnp.issubdtype(x.dtype, jnp.floating)
+                                  else x)
+                variables = jax.tree.map(cast, variables)
+                feats = jax.tree.map(cast, feats)
+                teacher_variables = jax.tree.map(cast, teacher_variables)
             N = feats[0].shape[0]
             model_obj, teacher_obj = model
             enc = model_obj.apply(variables, feats,
@@ -387,7 +399,9 @@ class TranslatorNARFormer(Translator):
                 logits = out["logits"]
                 if isinstance(logits, list):
                     logits = logits[-1]
-                return logits
+                # softmax/argmax/probs comparisons stay f32 under
+                # half-precision decode
+                return logits.astype(jnp.float32)
 
             teacher_score = None
             if teacher_obj is not None:
@@ -414,7 +428,8 @@ class TranslatorNARFormer(Translator):
                     out = teacher_obj.apply(
                         teacher_variables, with_bos[:, :-1], t_inputs,
                         method=Captioner.decoding_phase, collect_aux=False)
-                    probs = jax.nn.softmax(out["logits"], axis=-1)
+                    probs = jax.nn.softmax(
+                        out["logits"].astype(jnp.float32), axis=-1)
                     p = jnp.take_along_axis(probs, toks[:, :, None],
                                             axis=2)[:, :, 0]
                     p = jnp.where(pad_mask, 1.0, p)

@@ -169,3 +169,25 @@ def test_nar_vocab_mapping_not_cached_across_mappings():
     assert len(tr._jit_cache) == n0 + 2  # the round-3 cache-key fix
     assert out_id == out_plain  # identity mapping is a semantic no-op
     assert out_perm != out_id   # permuted mapping changes teacher scores
+
+
+def test_nar_bf16_decode_runs():
+    """compute_dtype_decode=bfloat16 on the NAR path (params/activations
+    bf16, probs/argmax f32): runs through refinement incl. the teacher
+    closure and yields well-formed captions."""
+    import jax.numpy as jnp
+    from care_tpu import constants
+    opt = tiny_opt(method="NAB", vocab_size=40)
+    model, variables, _ = tiny_model_and_batch(opt)
+    batch = _batches(opt, 1)[0]
+    models = [(model, variables)]
+
+    tr16 = get_translator({**opt, "compute_dtype_decode": jnp.bfloat16,
+                           "masking_decision": True})
+    hyps, lprobs = tr16.translate_batch(models, batch,
+                                        teacher=(model, variables))
+    assert len(hyps) == 3 and len(hyps[0][0]) == opt["max_len"]
+    toks = [t for row in hyps for t in row[0]]
+    assert all(0 <= t < opt["vocab_size"] for t in toks)
+    assert all(np.isfinite(np.asarray(lp, np.float64)).all()
+               for lp in lprobs)
