@@ -67,6 +67,11 @@ def beam_search(
     of ``last_tokens`` in the generated sequence (BOS = position 0 is fed at
     the first call). ``gather_carry(carry, row_idx [N*K])`` reorders the
     carry after beam reshuffling (default: tree-map take along axis 0).
+
+    Non-finite log-probs (e.g. a caller masking banned tokens with -inf)
+    are clamped to the finite ``DEAD`` score before accumulation: the exact
+    top-k runs in its ``assume_finite`` fast path, whose distinct-index
+    guarantee requires every input > -inf.
     """
     N, K, V = batch_size, beam_size, vocab_size
     F = max(K, topk)
@@ -98,7 +103,9 @@ def beam_search(
         t = state.t
         logp, carry = step_fn(state.last_tokens.reshape(N * K), t - 1,
                               state.carry)
-        logp = logp.reshape(N, K, V)
+        # clamp -inf masks to the finite DEAD score: the assume_finite
+        # top-k below would silently return duplicate indices otherwise
+        logp = jnp.maximum(logp.reshape(N, K, V), DEAD)
 
         # kill rows that already emitted EOS
         eos_row = state.last_tokens == eos_id

@@ -44,7 +44,9 @@ def auto_enlarge(tree, beam_size: int):
 def _vm_fingerprint(vm):
     """Cache-key component for a vocab-mapping array: the mapping is baked
     into the compiled closure, so two different mappings must never share a
-    cache entry."""
+    cache entry.  Call with the HOST-side array (before any jnp.asarray):
+    fingerprinting a device array would add a device->host fetch (~26 ms
+    dispatch floor on the axon runtime) to every NAR dispatch."""
     if vm is None:
         return None
     arr = np.asarray(vm)
@@ -91,7 +93,12 @@ class Translator:
             def rec(f):
                 return (tuple(rec(x) for x in f)
                         if isinstance(f, (list, tuple)) else f.shape)
-            return rec(b["feats"])
+            # aux inputs (category etc.) are stacked alongside feats in the
+            # fused program: batches whose aux key set or shapes differ
+            # must start a new group, not fail at jnp.stack
+            aux = self._batch_inputs(b)
+            return (rec(b["feats"]),
+                    tuple(sorted((k, v.shape) for k, v in aux.items())))
 
         def flush():
             # partial groups are PADDED to fused_k by repeating the last
@@ -102,6 +109,9 @@ class Translator:
                 return
             n = len(group)
             batches = [b for _, b in group]
+            if n < fused_k:
+                print(f"- fused decode: ragged group of {n} padded to "
+                      f"{fused_k} ({fused_k - n} wasted batch decodes)")
             batches += [batches[-1]] * (fused_k - n)
             outs = self.translate_batches_fused(models, batches, **kwargs)
             for (tag, _), out in zip(group, outs[:n]):
@@ -488,10 +498,11 @@ class TranslatorNARFormer(Translator):
             model, variables = models
         teacher_obj, teacher_vars = (teacher if teacher is not None
                                      else (None, None))
-        vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
-              else None)
+        vm_host = (np.asarray(vocab_mapping) if vocab_mapping is not None
+                   else None)
+        vm = jnp.asarray(vm_host) if vm_host is not None else None
         key = (id(model), id(teacher_obj), self.paradigm,
-               _vm_fingerprint(vm))
+               _vm_fingerprint(vm_host))
         if key not in self._jit_cache:
             # strong refs: see TranslatorARFormer.dispatch
             self._jit_cache[key] = (
@@ -522,11 +533,12 @@ class TranslatorNARFormer(Translator):
             model, variables = models
         teacher_obj, teacher_vars = (teacher if teacher is not None
                                      else (None, None))
-        vm = (jnp.asarray(vocab_mapping) if vocab_mapping is not None
-              else None)
+        vm_host = (np.asarray(vocab_mapping) if vocab_mapping is not None
+                   else None)
+        vm = jnp.asarray(vm_host) if vm_host is not None else None
         K = len(batches)
         key = (id(model), id(teacher_obj), self.paradigm, "fused", K,
-               _vm_fingerprint(vm))
+               _vm_fingerprint(vm_host))
         if key not in self._jit_cache:
             self._jit_cache[key] = (
                 self._build_fused_fn((model, teacher_obj), vm),

@@ -505,6 +505,13 @@ class Trainer:
         # floor once per K (bench: ~2.7x the depth-2 pipelined rate);
         # eval_fused_k <= 1 falls back to the pipelined path
         fused_k = int(self.opt.get("eval_fused_k", 4))
+        try:
+            # a val set with fewer batches than K would otherwise pad every
+            # group and silently decode len(loader)..K batches' worth of
+            # wasted compute per epoch
+            fused_k = max(1, min(fused_k, len(loader)))
+        except TypeError:
+            pass
         models = [(self.model, self.variables)]
         tkw = self._teacher_kwargs()
 

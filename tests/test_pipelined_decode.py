@@ -142,6 +142,28 @@ def test_run_eval_fused_k_matches_pipelined(tmp_path):
     assert s1 == s2
 
 
+def test_grouped_decode_splits_on_aux_mismatch():
+    """Batches with identical feats shapes but different aux key sets
+    (a stray `category` array the model itself ignores, picked up by
+    ``_batch_inputs``) must start a new fused group rather than fail at
+    jnp.stack, and grouped results must equal per-batch decode."""
+    import jax.numpy as jnp
+    opt = tiny_opt(vocab_size=40, beam_size=3)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=3)
+    tr = get_translator(opt)
+    models = [(model, variables)]
+
+    stream = _batches(opt, 3)
+    stream[2] = {**stream[2],
+                 "category": jnp.zeros((3, 1), jnp.int32)}  # stray aux
+
+    seq = [tr.translate_batch(models, b) for b in stream]
+    tagged = ((i, b) for i, b in enumerate(stream))
+    grouped = list(tr.translate_batches_grouped(models, tagged, fused_k=2))
+    assert [tag for tag, _ in grouped] == [0, 1, 2]
+    assert [out for _, out in grouped] == seq
+
+
 def test_nar_vocab_mapping_not_cached_across_mappings():
     """Two dispatches with DIFFERENT vocab mappings must compile two
     programs (the mapping is baked into the closure); identity mapping

@@ -73,6 +73,11 @@ def run_eval(models, opt, loader, references, vocab, latency=False,
     translator = get_translator(opt)
     preds = {}
     total_time, n_videos = 0.0, 0
+    try:
+        # never pad more wasted decodes than the stream has batches
+        fused_k = min(fused_k, len(loader)) if fused_k > 1 else fused_k
+    except TypeError:
+        pass
 
     def to_device(batch):
         import jax.numpy as jnp
