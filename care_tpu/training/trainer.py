@@ -99,6 +99,7 @@ class Trainer:
         self.tx = None
         self.global_step = 0
         self.best_scores: Dict[str, float] = {}
+        self.history: list = []   # per-epoch log dicts (loss, time, scores)
         self._train_step_fn = None
         self._eval_metrics_fn = None
         self._needs_aux = any(
@@ -210,6 +211,25 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0, 2))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _drain_step_stats(step_stats):
+        """Fetch an epoch's worth of per-step device scalars in ONE stacked
+        device->host transfer; yields (loss, losses_dict, metrics_dict) as
+        python floats per step.  Per-scalar fetches would each pay the
+        runtime's fixed transfer cost."""
+        if not step_stats:
+            return
+        _, losses0, metrics0 = step_stats[0]
+        lk, mk = sorted(losses0), sorted(metrics0)
+        rows = [[loss] + [losses[k] for k in lk] + [metrics[k] for k in mk]
+                for loss, losses, metrics in step_stats]
+        mat = np.asarray(jnp.asarray(rows))          # one program, one fetch
+        for row in mat:
+            yield (float(row[0]),
+                   {k: float(v) for k, v in zip(lk, row[1:1 + len(lk)])},
+                   {k: float(v) for k, v in zip(mk, row[1 + len(lk):])})
+
+    # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None):
         opt = self.opt
         epochs = epochs if epochs is not None else opt["epochs"]
@@ -257,6 +277,12 @@ class Trainer:
                                transform=self._device_batch)
             profile_dir = opt.get("profile_dir", "")
             step_in_epoch = 0
+            # per-step stats stay ON DEVICE during the epoch and drain in
+            # one stacked fetch at epoch end: a per-step float(loss) would
+            # pay the runtime's fixed host-fetch cost (~26-85 ms on the
+            # axon runtime) every step, serialising the whole epoch behind
+            # dispatch floors instead of chaining device steps back-to-back
+            step_stats = []
             for b in batches:
                 # capture a profiler trace over steps 5-10 of epoch 0
                 # (reference has only wall-clock latency logging; see
@@ -274,12 +300,14 @@ class Trainer:
                  metrics) = self._train_step_fn(
                     params, extra, self.opt_state, b, step_rng, ss_prob)
                 self.variables = {"params": params, **extra, **mutated}
-                loss_meter.update(float(loss))
-                per_loss.update({k: float(v) for k, v in losses.items()})
-                per_loss.update({"_n": 1.0})
-                metric_tracker.update({k: float(v)
-                                       for k, v in metrics.items()})
+                step_stats.append((loss, losses, metrics))
                 self.global_step += 1
+
+            for lv, ld, md in self._drain_step_stats(step_stats):
+                loss_meter.update(lv)
+                per_loss.update(ld)
+                per_loss.update({"_n": 1.0})
+                metric_tracker.update(md)
 
             if profile_dir and epoch == 0 and 5 < step_in_epoch <= 10:
                 try:
@@ -332,6 +360,9 @@ class Trainer:
             self.ckpt_manager.on_epoch_end(epoch, self.variables, opt, scores)
             if opt.get("resume"):
                 self._save_train_state(epoch, rng)
+            self.history.append({"epoch": epoch, **log,
+                                 "n_steps": step_in_epoch,
+                                 "scores": dict(scores)})
             print(f"- epoch {epoch}: loss={loss_meter.avg:.4f} "
                   f"{self._fmt_scores(scores)} ({epoch_time:.1f}s)")
         return self.best_scores
