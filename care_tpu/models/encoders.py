@@ -17,6 +17,7 @@ are pure concats (no python-object plumbing at trace time).
 
 from typing import Any, Dict, List
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -39,17 +40,51 @@ class HighWay(nn.Module):
         return x + y
 
 
+class _TorchBatchNorm(nn.Module):
+    """BatchNorm with EXACT torch.nn.BatchNorm1d train-mode semantics:
+    normalisation uses the biased batch variance, but the running variance
+    is updated with the UNBIASED one (``n/(n-1)``) — flax's ``nn.BatchNorm``
+    stores the biased variance, a ~``1/(n-1)`` per-update drift that would
+    surface as eval-time logit mismatch after training.  torch
+    ``momentum=0.1`` convention: ``new = (1-m)*old + m*batch``."""
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = x.mean(axis=0)
+            var = ((x - mean) ** 2).mean(axis=0)     # biased, for normalising
+            n = x.shape[0]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
 class BN1d(nn.Module):
     """BatchNorm over the channel axis, stats across (batch*time)
-    (reference ``Encoder.py:229-241``)."""
+    (reference ``Encoder.py:229-241``; torch-exact running-stat updates)."""
     hidden_size: int
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         shape = x.shape
         flat = x.reshape(-1, self.hidden_size)
-        out = nn.BatchNorm(use_running_average=deterministic,
-                           momentum=0.9, epsilon=1e-5, name="bn")(flat)
+        out = _TorchBatchNorm(self.hidden_size, name="bn")(
+            flat, use_running_average=deterministic)
         return out.reshape(shape)
 
 

@@ -198,6 +198,21 @@ def transplant_pointer_weights(state_dict, flax_params):
     return p
 
 
+def transplant_length_predictor(state_dict, flax_params, net_index=0):
+    """Map the reference ``Predictor_length`` MLP
+    (``pred_length.py:8-13``: Linear-ReLU-Dropout-Linear at
+    ``predictor.nets.<i>.net``) into our ``PredictorLength`` params."""
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in state_dict.items()}
+    p = flax_params
+    base = f"predictor.nets.{net_index}.net"
+    _set(p, "predictor/Predictor_length/net1/kernel", sd[f"{base}.0.weight"].T)
+    _set(p, "predictor/Predictor_length/net1/bias", sd[f"{base}.0.bias"])
+    _set(p, "predictor/Predictor_length/net2/kernel", sd[f"{base}.3.weight"].T)
+    _set(p, "predictor/Predictor_length/net2/bias", sd[f"{base}.3.bias"])
+    return p
+
+
 def transplant_highwaybn_encoder(state_dict, flax_variables, opt):
     """Map the ARB/NAB EncoderWithHighWayBN streams (Linear + HighWay +
     BatchNorm1d + Dropout) into params + batch_stats."""

@@ -68,3 +68,47 @@ def test_watch_windowed_causal_mask():
     assert b[4, 5] < -1e8
     # row 1 unaffected by the window (len < watch from start)
     assert b[1, 0] == 0 and b[1, 1] == 0
+
+
+def test_bn1d_train_mode_matches_torch_exactly():
+    """Torch BatchNorm1d semantics in train mode: normalise with the
+    BIASED batch variance, update running_var with the UNBIASED one
+    (flax's nn.BatchNorm stores the biased variance — a 1/(n-1) drift
+    that would surface as eval-time mismatch after training)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    from care_tpu.models.encoders import BN1d
+
+    rs = np.random.RandomState(0)
+    H, B, T = 6, 4, 3
+    x = rs.randn(B, T, H).astype(np.float32)
+
+    bn = BN1d(H)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tbn = torch.nn.BatchNorm1d(H, eps=1e-5, momentum=0.1)
+    tbn.train()
+
+    # two train-mode updates (different batches), then one eval pass
+    vs = variables
+    for seed in (1, 2):
+        xb = rs.randn(B, T, H).astype(np.float32)
+        out, mut = bn.apply(vs, jnp.asarray(xb), deterministic=False,
+                            mutable=["batch_stats"])
+        tout = tbn(torch.from_numpy(xb).reshape(-1, H))
+        np.testing.assert_allclose(np.asarray(out).reshape(-1, H),
+                                   tout.detach().numpy(), atol=2e-5)
+        vs = {**vs, **mut}
+
+    np.testing.assert_allclose(
+        np.asarray(vs["batch_stats"]["bn"]["mean"]),
+        tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vs["batch_stats"]["bn"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-6)
+
+    tbn.eval()
+    xe = rs.randn(B, T, H).astype(np.float32)
+    oe = bn.apply(vs, jnp.asarray(xe), deterministic=True)
+    te = tbn(torch.from_numpy(xe).reshape(-1, H))
+    np.testing.assert_allclose(np.asarray(oe).reshape(-1, H),
+                               te.detach().numpy(), atol=2e-5)
