@@ -80,11 +80,17 @@ _SYN_VERBS = ["running", "singing", "playing", "cooking", "driving",
 
 def build_synthetic_corpus(n_videos: int = 40, n_caps_per_video: int = 3,
                            seed: int = 0, max_len: int = 30,
-                           attribute_k: int = 500) -> dict:
+                           attribute_k: int = 500,
+                           consistent: bool = False) -> dict:
     """Build an ``info_corpus``-shaped dict with a consistent vocabulary.
 
     The vocab respects the attribute-first layout: special tokens 0-5, then
     content words (nouns/verbs = concepts) from id 6, then stop words.
+
+    ``consistent=True``: all of a video's captions share one
+    (noun, verb, noun) triple, so features map unambiguously to caption
+    content — needed by rehearsals of weaker-supervision recipes (NAR MLM)
+    that cannot resolve 3 unrelated captions per video on a tiny corpus.
     """
     rng = np.random.RandomState(seed)
     content_words = _SYN_NOUNS + _SYN_VERBS
@@ -108,10 +114,15 @@ def build_synthetic_corpus(n_videos: int = 40, n_caps_per_video: int = 3,
         vid = "video%d" % v
         caps, tags = [], []
         counts = [0] * max_len
+        fixed = (_SYN_NOUNS[rng.randint(len(_SYN_NOUNS))],
+                 _SYN_VERBS[rng.randint(len(_SYN_VERBS))],
+                 _SYN_NOUNS[rng.randint(len(_SYN_NOUNS))]) if consistent \
+            else None
         for _ in range(n_caps_per_video):
-            noun1 = _SYN_NOUNS[rng.randint(len(_SYN_NOUNS))]
-            verb = _SYN_VERBS[rng.randint(len(_SYN_VERBS))]
-            noun2 = _SYN_NOUNS[rng.randint(len(_SYN_NOUNS))]
+            noun1, verb, noun2 = fixed if consistent else (
+                _SYN_NOUNS[rng.randint(len(_SYN_NOUNS))],
+                _SYN_VERBS[rng.randint(len(_SYN_VERBS))],
+                _SYN_NOUNS[rng.randint(len(_SYN_NOUNS))])
             words = ["a", noun1, "is", verb, "on", "the", noun2]
             tagseq = ["DET", "NOUN", "VERB", "VERB", "ADP", "DET", "NOUN"]
             ids = ([constants.BOS] + [wtoi[w] for w in words]
@@ -162,7 +173,8 @@ def build_synthetic_references(corpus: dict) -> Dict[str, List[dict]]:
 
 
 def write_synthetic_dataset(root: str, opt: dict, n_videos: int = 40,
-                            seed: int = 0, correlated: bool = False):
+                            seed: int = 0, correlated: bool = False,
+                            consistent: bool = False):
     """Materialise a synthetic dataset with the reference's on-disk layout:
     ``<root>/<dataset>/info_corpus.pkl``, ``refs.pkl`` and per-modality
     HDF5 feature files under ``feats/``.
@@ -179,7 +191,8 @@ def write_synthetic_dataset(root: str, opt: dict, n_videos: int = 40,
 
     corpus = build_synthetic_corpus(
         n_videos=n_videos, seed=seed, max_len=opt["max_len"],
-        attribute_k=opt.get("attribute_prediction_k", 500))
+        attribute_k=opt.get("attribute_prediction_k", 500),
+        consistent=consistent)
     refs = build_synthetic_references(corpus)
 
     with open(os.path.join(dataset_dir, "info_corpus.pkl"), "wb") as f:

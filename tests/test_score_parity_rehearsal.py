@@ -21,7 +21,10 @@ from care_tpu.data.corpus import write_synthetic_dataset
 from care_tpu.metrics import COCOScorer
 from care_tpu.utils.logger import to_sentence
 
-from reference_adapter import import_reference, transplant_transformer_weights
+from reference_adapter import (import_reference,
+                               transplant_transformer_weights,
+                               transplant_highwaybn_encoder,
+                               transplant_length_predictor)
 
 EPOCHS = 12
 LR = 5e-4
@@ -304,6 +307,284 @@ def test_care_flagship_training_and_scores_match_reference(tmp_path):
     # slows the encoder/detector after epoch 6 (deterministic: ref 0.230)
     assert ref_scores["CIDEr"] > 0.2, ref_scores
     assert our_scores["CIDEr"] > 0.2, our_scores
+
+
+def _make_nar_env(tmp_path):
+    """NACF recipe on the synthetic corpus: MLM + visual-word two-stage
+    targets (``dataloader.py:583-659``) + length KL, EncoderWithHighWayBN,
+    TwoStage decoder, MaskPredict decode with CT templates."""
+    overrides = {
+        "dataset": "MSRVTT", "method": "NACF", "task": "Base",
+        "feats": "ViT", "modality": "mi",
+        "final_overrides": {
+            "max_len": 12, "n_frames": 8, "batch_size": 8,
+            "length_beam_size": 4, "iterations": 3, "beam_alpha": 1.0,
+            "num_hidden_layers_decoder": 1, "dim_hidden": 64,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "encoder_dropout_prob": 0.0, "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0, "trainable_pe": True,
+            "with_teacher_during_training": False,
+            "load_teacher_weights": False,
+            "masking_decision": False, "no_candidate_decision": False,
+            "weight_decay": 0.0,
+        },
+    }
+    opt = get_opt(overrides, read_vocab=False, resolve_paths=False)
+    opt["dim_m"], opt["dim_i"] = 32, 16
+
+    import os
+    # consistent=True: one (noun, verb, noun) triple per video — the NAR
+    # MLM recipe cannot resolve 3 unrelated captions per video on a corpus
+    # this small (the AR rehearsals can)
+    root, paths, corpus, refs = write_synthetic_dataset(
+        str(tmp_path), opt, n_videos=24, correlated=True, consistent=True)
+    opt["info_corpus"] = os.path.join(root, "info_corpus.pkl")
+    opt["reference"] = os.path.join(root, "refs.pkl")
+    for c, p in paths.items():
+        opt[f"feats_{c}"] = [p]
+    opt["vocab_size"] = len(corpus["info"]["itow"])
+    return opt, corpus, refs
+
+
+def _nar_ref_opt_from(opt):
+    ref_opt = _ref_opt_from(opt)
+    ref_opt.update({
+        "encoder": "EncoderWithHighWayBN",
+        "decoder": "TwoStageTransformerDecoder",
+        "decoding_type": "NARFormer",
+        "paradigm": opt.get("paradigm", "mp"),
+        "iterations": opt["iterations"],
+        "length_beam_size": opt["length_beam_size"],
+        "length_bias": opt.get("length_bias", 0),
+        "visual_word_generation": True,
+        "demand": opt["demand"], "use_ct": opt["use_ct"],
+        "nv_weights": opt["nv_weights"],
+        "length_prediction": True,
+        "masking_decision": opt["masking_decision"],
+        "no_candidate_decision": opt["no_candidate_decision"],
+        "info_corpus": opt["info_corpus"],
+    })
+    return ref_opt
+
+
+def test_nacf_training_and_scores_match_reference(tmp_path):
+    """The NAR training recipe end to end (round-4 task; reference
+    ``Wrapper.py:287-299`` + ``dataloader.py:583-659``): β-range MLM +
+    visual-word two-stage targets + length-KL training of the NACF stack
+    (HighWayBN encoder, TwoStage decoder, length predictor) on the same
+    synthetic corpus from the same transplanted init in both stacks, then
+    length-beam + CT-template MaskPredict decode — without AND with an AR
+    teacher attached for masking decisions — scored with the COCO metrics;
+    score dicts must match."""
+    torch = pytest.importorskip("torch")
+    import types as _types
+    get_framework = import_reference()
+    from misc.Crit import get_criterion as ref_get_criterion
+    from models.Translator import get_translator as ref_get_translator
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from care_tpu.models import build_captioner
+    from care_tpu.training.losses import Criterion
+
+    # constant LR, longer run than the AR rehearsals: the two-stage MLM
+    # must escape the stage-1 "predict MASK everywhere" attractor, which
+    # on this tiny corpus takes more optimisation than StepLR 0.9/epoch
+    # leaves alive (both stacks use the SAME optimizer, so parity is
+    # unaffected by the choice)
+    NAR_EPOCHS = 40
+
+    opt, corpus, refs = _make_nar_env(tmp_path)
+    itow = corpus["info"]["itow"]
+    assert opt["crits"] == ["lang", "length"]
+    ref_opt = _nar_ref_opt_from(opt)
+
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()          # dropout off; BN in eval mode (we mirror by
+    ref_crit = ref_get_criterion(dict(ref_opt))   # not mutating batch_stats)
+
+    model = build_captioner(opt)
+    train_loader = get_loader(opt, "train")
+    first = next(iter(train_loader))
+    batch0 = {"feats": [jnp.asarray(np.asarray(f)) for f in first["feats"]],
+              "input_ids": [jnp.asarray(np.asarray(x))
+                            for x in first["input_ids"]]}
+    rng = jax.random.PRNGKey(0)
+    variables = jax.tree.map(np.asarray, model.init(
+        {"params": rng, "dropout": rng, "sampling": rng}, batch0,
+        deterministic=True))
+    variables = transplant_highwaybn_encoder(ref_model.state_dict(),
+                                             variables, ref_opt)
+    variables["params"] = transplant_transformer_weights(
+        ref_model.state_dict(), variables["params"],
+        {**ref_opt, "modality": ""})
+    variables["params"] = transplant_length_predictor(
+        ref_model.state_dict(), variables["params"])
+    # zero-copy hazard: see test_training_and_coco_scores_match_reference
+    variables = jax.tree.map(lambda x: jnp.array(np.array(x, copy=True)),
+                             variables)
+    params, extra = variables["params"], {
+        k: v for k, v in variables.items() if k != "params"}
+
+    criterion = Criterion(opt)
+    tx = optax.adam(learning_rate=LR)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            outputs = model.apply({"params": p, **extra}, batch,
+                                  deterministic=True, collect_aux=False)
+            total, _, _ = criterion({**outputs, **batch}, None)
+            return total
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    ref_optim = torch.optim.Adam(ref_model.parameters(), lr=LR,
+                                 weight_decay=0.0)
+
+    def to_torch_nar(batch):
+        return {
+            "feats": [torch.from_numpy(np.asarray(f))
+                      for f in batch["feats"]],
+            "input_ids": [torch.from_numpy(np.asarray(x)).long()
+                          for x in batch["input_ids"]],
+            "labels": [torch.from_numpy(np.asarray(x)).long()
+                       for x in batch["labels"]],
+            "length_target": torch.from_numpy(
+                np.asarray(batch["length_target"])).float(),
+        }
+
+    first_epoch_pairs = []
+    final_pair = None
+    for epoch in range(NAR_EPOCHS):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            tb = to_torch_nar(batch)
+            out = ref_model(tb, current_epoch=epoch)
+            ref_loss = ref_crit.get_loss({**out, **tb})
+            ref_optim.zero_grad()
+            ref_loss.backward()
+            ref_optim.step()
+
+            jb = {"feats": [jnp.asarray(np.asarray(f))
+                            for f in batch["feats"]],
+                  "input_ids": [jnp.asarray(np.asarray(x))
+                                for x in batch["input_ids"]],
+                  "labels": [jnp.asarray(np.asarray(x))
+                             for x in batch["labels"]],
+                  "length_target": jnp.asarray(
+                      np.asarray(batch["length_target"]))}
+            params, opt_state, our_loss = train_step(params, opt_state, jb)
+            if epoch == 0:
+                first_epoch_pairs.append((float(ref_loss.detach()),
+                                          float(our_loss)))
+            final_pair = (float(ref_loss.detach()), float(our_loss))
+
+    r0, o0 = first_epoch_pairs[0]
+    assert abs(r0 - o0) < 1e-3 * max(1.0, abs(r0)), (r0, o0)
+    for r, o in first_epoch_pairs:
+        assert abs(r - o) < 0.05 * max(1.0, abs(r)), first_epoch_pairs
+    # the recipe optimises on both stacks (MLM + visual-word + length KL),
+    # and the final losses stay in the same regime after 240 steps
+    assert final_pair[0] < 0.2 * r0, (r0, final_pair)
+    assert final_pair[1] < 0.2 * o0, (o0, final_pair)
+    assert abs(final_pair[0] - final_pair[1]) < 0.5 * max(final_pair), \
+        final_pair
+
+    # --- AR teacher (identical transplanted weights on both sides) -------
+    t_ref_opt = _ref_opt_from(opt)
+    t_ref_opt.update({"decoding_type": "ARFormer", "crits": ["lang"],
+                      "info_corpus": opt["info_corpus"]})
+    torch.manual_seed(5)
+    ref_teacher = get_framework(dict(t_ref_opt))
+    ref_teacher.eval()
+
+    t_overrides = {
+        "dataset": "MSRVTT", "method": "Transformer", "task": "Base",
+        "feats": "ViT", "modality": "mi",
+        "final_overrides": {
+            "max_len": opt["max_len"], "n_frames": opt["n_frames"],
+            "num_hidden_layers_decoder": 1, "dim_hidden": 64,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "encoder_dropout_prob": 0.0, "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0, "trainable_pe": True,
+        },
+    }
+    t_opt = get_opt(t_overrides, read_vocab=False, resolve_paths=False)
+    t_opt.update({"dim_m": opt["dim_m"], "dim_i": opt["dim_i"],
+                  "vocab_size": opt["vocab_size"],
+                  "info_corpus": opt["info_corpus"]})
+    teacher_model = build_captioner(t_opt)
+    t_batch0 = {"feats": batch0["feats"],
+                "input_ids": jnp.ones((8, opt["max_len"] - 1), jnp.int32)}
+    t_vars = jax.tree.map(np.asarray, teacher_model.init(
+        {"params": rng, "dropout": rng, "sampling": rng}, t_batch0,
+        deterministic=True))
+    t_vars["params"] = transplant_transformer_weights(
+        ref_teacher.state_dict(), t_vars["params"], t_ref_opt)
+    t_vars = jax.tree.map(lambda x: jnp.array(np.array(x, copy=True)),
+                          t_vars)
+
+    # --- decode + COCO score, with and without the teacher ---------------
+    test_loader = get_loader(opt, "test", not_shuffle=True)
+    from care_tpu.decoding.translator import get_translator
+    from care_tpu.models.loading import get_vocab_mapping
+    assert get_vocab_mapping(opt, t_opt) is None   # same corpus, no remap
+    our_vars = {"params": params, **extra}
+    scorer = COCOScorer(verbose=False)
+
+    for with_teacher in (False, True):
+        d_opt = dict(opt)
+        d_ref_opt = dict(ref_opt)
+        if with_teacher:
+            d_opt["masking_decision"] = True
+            d_ref_opt["masking_decision"] = True
+        ref_tr = ref_get_translator(d_ref_opt)
+        our_tr = get_translator(d_opt)
+        wrapper = _types.SimpleNamespace(captioner=ref_teacher,
+                                         get_opt=lambda: dict(t_ref_opt))
+        ref_preds, our_preds = {}, {}
+        with torch.no_grad():
+            for batch in test_loader:
+                tfeats = [torch.from_numpy(np.asarray(f))
+                          for f in batch["feats"]]
+                rh, _ = ref_tr.translate_batch(
+                    [ref_model], {"feats": tfeats},
+                    teacher_model_wrapper=(wrapper if with_teacher
+                                           else None), vocab=itow)
+                jb = {"feats": [jnp.asarray(np.asarray(f))
+                                for f in batch["feats"]]}
+                oh, _ = our_tr.translate_batch(
+                    [(model, our_vars)], jb,
+                    teacher=((teacher_model, t_vars) if with_teacher
+                             else None))
+                for i, vid in enumerate(batch["video_ids"]):
+                    ref_preds[vid] = [{"image_id": vid, "caption":
+                                       to_sentence(rh[i][0], itow)}]
+                    our_preds[vid] = [{"image_id": vid, "caption":
+                                       to_sentence(oh[i][0], itow)}]
+
+        ids = list(ref_preds.keys())
+        ref_scores, _ = scorer.score(refs, ref_preds, ids)
+        our_scores, _ = scorer.score(refs, our_preds, ids)
+        # looser than the AR rehearsals (0.02 @ 72 steps): 240 Adam steps
+        # of independent f32 accumulation drift chaotically before decode
+        # amplifies near-ties into different captions.  Exact decode
+        # equality on IDENTICAL weights is locked separately
+        # (test_reference_decode_parity.py); this asserts the trained
+        # score landscape stays exchangeable.
+        for key in ["Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
+            assert abs(ref_scores[key] - our_scores[key]) <= 0.3, (
+                with_teacher, key, ref_scores, our_scores)
+        # the NAR recipe must actually have learned the (consistent)
+        # corpus on both stacks — probe trajectory on this env: CIDEr
+        # ~0.9 @30 epochs, ~2.4 @40
+        assert ref_scores["CIDEr"] > 0.8, (with_teacher, ref_scores)
+        assert our_scores["CIDEr"] > 0.8, (with_teacher, our_scores)
 
 
 def test_training_and_coco_scores_match_reference(tmp_path):
