@@ -45,6 +45,7 @@ _BASELINE_CACHE = os.path.join(_REPO, ".bench_baseline.json")
 # artifacts produced on-TPU by scripts/bench_train_configured.py:
 # trained flagship weights (bf16 gate evidence) + configured-trainer rates
 _TRAINED_WEIGHTS = os.path.join(_REPO, ".bench_trained_flagship.msgpack")
+_TRAINED_BATCH = os.path.join(_REPO, ".bench_trained_batch.npz")
 _TRAIN_CFG_JSON = os.path.join(_REPO, ".bench_train_configured.json")
 
 # dense peak FLOP/s per chip (bf16), by device_kind substring
@@ -210,8 +211,25 @@ def main():
             from flax import serialization
             with open(_TRAINED_WEIGHTS, "rb") as f:
                 trained_vars = serialization.from_bytes(variables, f.read())
+            # commit to device ONCE: from_bytes yields numpy leaves, and
+            # passing those to a compiled call would re-transfer all 75 MB
+            # of weights per call (3+ s at the tunnel's ~22 MB/s) —
+            # poisoning every trained-weights measurement
+            trained_vars = jax.device_put(trained_vars)
         except Exception:
             trained_vars = None
+    # in-distribution features saved by the configured-trainer run: the
+    # trained model's logit sharpness (and therefore the bf16 agreement
+    # gate) is only meaningful on inputs like those it trained on
+    trained_batch = None
+    if trained_vars is not None and os.path.exists(_TRAINED_BATCH):
+        try:
+            data = np.load(_TRAINED_BATCH)
+            trained_batch = {"feats": [
+                jnp.asarray(data[f"feat{i}"])
+                for i in range(int(data["n_feats"]))]}
+        except Exception:
+            trained_batch = None
 
     # ---- batch-64: one fused program, AOT-compiled --------------------
     compiled64, args64, flops64 = _build_decode_fn(translator, models, batch)
@@ -372,12 +390,19 @@ def main():
                                       run_sync())
         # TRAINED flagship weights (round-4): the 99.5% serving gate is
         # decided HERE — the compiled programs take variables as args, so
-        # swapping in trained params costs no compile
+        # swapping in trained params costs no compile.  Inputs are the
+        # in-distribution features saved by the training run when
+        # available (a trained model's logit sharpness on random noise
+        # says nothing about serving agreement).
         agree_trained = agree_tok_trained = None
+        trained_in_dist = False
         if trained_vars is not None:
             tv = [trained_vars]
-            out_bf_t = _drain(compiled_bf64(tv, *args_bf64[1:]))
-            out_f_t = _drain(compiled64(tv, *args64[1:]))
+            tfeats = (trained_batch["feats"] if trained_batch is not None
+                      else args64[1])
+            trained_in_dist = trained_batch is not None
+            out_bf_t = _drain(compiled_bf64(tv, tfeats, args_bf64[2]))
+            out_f_t = _drain(compiled64(tv, tfeats, args64[2]))
             agree_trained, agree_tok_trained = _agreement(out_bf_t, out_f_t)
 
         # throughput: batch 512, fused K=2 (one program, floor paid once)
@@ -403,6 +428,8 @@ def main():
             "per_token_agreement_trained": (round(agree_tok_trained, 4)
                                             if agree_tok_trained is not None
                                             else None),
+            "trained_inputs": ("in_distribution" if trained_in_dist
+                               else "random"),
             "batch": SBATCH, "fused_k": KS,
             "sync_caps_per_s": round(KS * SBATCH / t_sbf, 2),
             "s_per_call": round(t_sbf, 4),

@@ -156,6 +156,16 @@ def main():
     print(f"weights -> {out_weights} "
           f"({os.path.getsize(out_weights)/1e6:.1f} MB)", flush=True)
 
+    # one in-distribution validation batch: the agreement gate must probe
+    # the trained model on inputs like those it trained on, not noise
+    out_batch = (os.path.join(root, "trained_batch.npz") if SMALL
+                 else os.path.join(REPO, ".bench_trained_batch.npz"))
+    vb = next(iter(val_loader))
+    feats = [np.asarray(f) for f in vb["feats"]]
+    np.savez(out_batch, n_feats=len(feats),
+             **{f"feat{i}": f for i, f in enumerate(feats)})
+    print(f"batch -> {out_batch}", flush=True)
+
 
 if __name__ == "__main__":
     main()
