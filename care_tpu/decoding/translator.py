@@ -41,6 +41,22 @@ def auto_enlarge(tree, beam_size: int):
         tree, is_leaf=lambda x: x is None)
 
 
+def _cast_variables(variables, compute_dtype, keep_head_f32: bool):
+    """Cast a variables pytree to the serving dtype; with
+    ``keep_head_f32`` the vocab-projection (``cls_head``) params keep f32
+    so the final logits matmul runs at full precision."""
+    cast = lambda x: (x.astype(compute_dtype)
+                      if hasattr(x, "dtype")
+                      and jnp.issubdtype(x.dtype, jnp.floating) else x)
+    out = jax.tree.map(cast, variables)
+    if keep_head_f32 and isinstance(variables, dict) \
+            and "cls_head" in variables.get("params", {}):
+        out = dict(out)
+        out["params"] = dict(out["params"])
+        out["params"]["cls_head"] = variables["params"]["cls_head"]
+    return out
+
+
 def _vm_fingerprint(vm):
     """Cache-key component for a vocab-mapping array: the mapping is baked
     into the compiled closure, so two different mappings must never share a
@@ -146,16 +162,24 @@ class TranslatorARFormer(Translator):
         vocab = opt["vocab_size"]
 
         compute_dtype = opt.get("compute_dtype_decode", None)
+        keep_head_f32 = opt.get("decode_head_f32", False)
 
         def run(all_variables, feats, batch_aux):
             if compute_dtype is not None:
                 # half-precision decode: params + activations in bf16, beam
-                # scores and softmax stay f32 (cast at the logits boundary)
+                # scores and softmax stay f32 (cast at the logits boundary).
+                # decode_head_f32: optional f32 vocab-projection kernel —
+                # measured on the trained flagship to change NO beam picks
+                # (the bf16 rounding that flips captions lives in the
+                # decoder hidden states, not the final matmul) at ~4%
+                # throughput cost, hence off by default.
+                all_variables = [_cast_variables(v, compute_dtype,
+                                                 keep_head_f32)
+                                 for v in all_variables]
                 cast = lambda x: (x.astype(compute_dtype)
                                   if hasattr(x, "dtype")
                                   and jnp.issubdtype(x.dtype, jnp.floating)
                                   else x)
-                all_variables = jax.tree.map(cast, all_variables)
                 feats = jax.tree.map(cast, feats)
             # feats: list of arrays shared by all models, OR (heterogeneous
             # ensembles) a list with one feats-list per model (reference
@@ -361,6 +385,7 @@ class TranslatorNARFormer(Translator):
         max_len = self.max_len
         paradigm = self.paradigm
         compute_dtype = opt.get("compute_dtype_decode", None)
+        keep_head_f32 = opt.get("decode_head_f32", False)
 
         def run(variables, feats, batch_aux, teacher_variables):
             if compute_dtype is not None:
@@ -371,9 +396,11 @@ class TranslatorNARFormer(Translator):
                                   if hasattr(x, "dtype")
                                   and jnp.issubdtype(x.dtype, jnp.floating)
                                   else x)
-                variables = jax.tree.map(cast, variables)
+                variables = _cast_variables(variables, compute_dtype,
+                                            keep_head_f32)
                 feats = jax.tree.map(cast, feats)
-                teacher_variables = jax.tree.map(cast, teacher_variables)
+                teacher_variables = _cast_variables(
+                    teacher_variables, compute_dtype, keep_head_f32)
             N = feats[0].shape[0]
             model_obj, teacher_obj = model
             enc = model_obj.apply(variables, feats,
