@@ -331,7 +331,11 @@ class TransformerDecoder(nn.Module):
         new_layers = []
         h = x
         for layer, st in zip(self.layers, state["layers"]):
-            k_new, v_new = layer.prefill_self_kv(h, preds_attr=aux["preds_attr"])
+            # fused q/k/v projection: ONE matmul launch per layer instead
+            # of three — the decode step is serial-launch-latency-bound
+            # (bench detail.bandwidth_util), results identical
+            q_new, (k_new, v_new) = layer.self_qkv(
+                h, preds_attr=aux["preds_attr"])
             # half-precision decode: intermediate ops may up/down-cast, but
             # the cache dtype is authoritative (dynamic_update_slice
             # requires exact dtype match)
@@ -346,7 +350,7 @@ class TransformerDecoder(nn.Module):
             h = layer.step(h, cache_pos, (self_k, self_v), st["inter_kv"],
                            attr_kv=st["attr_kv"], self_bias=self_bias,
                            preds_attr=aux["preds_attr"],
-                           n_frames=opt["n_frames"])
+                           n_frames=opt["n_frames"], q=q_new)
             new_layers.append({**st, "self_k": self_k, "self_v": self_v})
 
         if hasattr(self, "final_ln"):

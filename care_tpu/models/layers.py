@@ -120,6 +120,29 @@ class MultiHeadAttention(nn.Module):
             q = self.query(q_input)
         return split_heads(q, self.num_attention_heads)
 
+    def project_qkv(self, x, preds_attr=None):
+        """Fused self-attention q/k/v projection for the serial decode
+        step: one [D, 3D] matmul instead of three [D, D] launches.  Each
+        output element is the same dot product over the same contraction
+        axis, so results are identical to the separate projections; the
+        kernel concat is loop-invariant and hoisted by XLA.  Returns
+        (q, (k, v)) in head form."""
+        if self.compositional:
+            return (self.project_q(x, preds_attr),
+                    self.project_kv(x, preds_attr=preds_attr))
+        pq = self.query.variables["params"]
+        pk = self.key.variables["params"]
+        pv = self.value.variables["params"]
+        w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
+                            axis=1).astype(x.dtype)
+        out = x @ w
+        if "bias" in pq:
+            out = out + jnp.concatenate(
+                [pq["bias"], pk["bias"], pv["bias"]]).astype(out.dtype)
+        q, k, v = jnp.split(out, 3, axis=-1)
+        h = self.num_attention_heads
+        return split_heads(q, h), (split_heads(k, h), split_heads(v, h))
+
     def _make_bias(self, attention_mask, length_q, length_k, decoding_type,
                    n_frames, rpe_query_position=None, rpe_total_q=None):
         """Combine pad/causal mask, RPE and hybrid bias into one additive bias.
@@ -505,19 +528,27 @@ class DecoderLayer(nn.Module):
         (e.g. the G-LSG concept prefix)."""
         return self.intra_attention.project_kv(token_embs, preds_attr=preds_attr)
 
+    def self_qkv(self, token_embs, preds_attr=None):
+        """Fused q + k/v self-attention projection for the decode step
+        (one matmul launch; see ``MultiHeadAttention.project_qkv``)."""
+        return self.intra_attention.project_qkv(token_embs,
+                                                preds_attr=preds_attr)
+
     def step(self, x, position, self_kv, inter_kv, attr_kv=None,
              self_bias=None, cross_bias=None, preds_attr=None,
-             n_frames: int = 0):
+             n_frames: int = 0, q=None):
         """One decode step. x: [B, 1, D]; self_kv: (k, v) [B, H, Lmax, Dh]
         already containing this step's K/V at ``position``.
 
         ``self_bias``: additive [B, 1, 1, Lmax] masking future positions.
-        Returns new hidden state [B, 1, D].
+        ``q``: optionally the pre-projected self-attention query (from the
+        fused ``project_qkv``). Returns new hidden state [B, 1, D].
         """
         # self attention over the cache; `position` is the query's index
         # in the full (prefix + words) sequence for RPE row selection
         cache_len = self_kv[0].shape[2]
-        q = self.intra_attention.project_q(x, preds_attr)
+        if q is None:
+            q = self.intra_attention.project_q(x, preds_attr)
         bias = self.intra_attention._make_bias(
             self_bias, 1, cache_len, "ARFormer", n_frames,
             rpe_query_position=position, rpe_total_q=cache_len)
