@@ -328,14 +328,22 @@ class TransformerDecoder(nn.Module):
         self_bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
         self_bias = self_bias[None, None, None, :]
 
+        fused_qkv = opt.get("decode_fused_qkv", True)
         new_layers = []
         h = x
         for layer, st in zip(self.layers, state["layers"]):
-            # fused q/k/v projection: ONE matmul launch per layer instead
-            # of three — the decode step is serial-launch-latency-bound
-            # (bench detail.bandwidth_util), results identical
-            q_new, (k_new, v_new) = layer.self_qkv(
-                h, preds_attr=aux["preds_attr"])
+            if fused_qkv:
+                # fused q/k/v projection: ONE matmul launch per layer
+                # instead of three, identical results.  A/B on v5e was
+                # neutral (0.3715 vs 0.3724 s/call fused-K8 — the 1.6 ms
+                # step is not launch-count-bound on this runtime); kept
+                # as the default for runtimes where dispatch dominates.
+                q_new, (k_new, v_new) = layer.self_qkv(
+                    h, preds_attr=aux["preds_attr"])
+            else:
+                q_new = None
+                k_new, v_new = layer.prefill_self_kv(
+                    h, preds_attr=aux["preds_attr"])
             # half-precision decode: intermediate ops may up/down-cast, but
             # the cache dtype is authoritative (dynamic_update_slice
             # requires exact dtype match)
