@@ -234,6 +234,14 @@ _DEFAULTS = {
     "resume": False,                 # save + restore sharded train state
     "train_state_dir": "",           # default <checkpoint_path>/train_state
     "prefetch_batches": 2,           # host pipeline prefetch depth
+    "eval_fused_k": 4,               # K same-shape batches per fused
+                                     # validation-decode program (<=1 =
+                                     # pipelined per-batch decode)
+    "compute_dtype_decode": None,    # e.g. 'bfloat16': half-precision
+                                     # serving decode (scores stay f32)
+    "decode_head_f32": False,        # bf16 decode: keep the vocab
+                                     # projection f32 (measured: no beam
+                                     # picks change, ~4% slower)
 }
 
 

