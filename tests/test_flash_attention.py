@@ -86,3 +86,50 @@ def test_flash_compiled_on_tpu_matches_xla():
                 q, k, v, bias=b, return_probs=False)[0])(q, k, v, bias))
     # bf16 matmul passes on TPU give ~5e-3 relative; measured 8e-4 abs
     np.testing.assert_allclose(out_f, out_x, atol=1e-2)
+
+
+def test_flash_gradients_match_xla():
+    """Differentiable flash (round 4): grads of sum(attention) w.r.t.
+    q/k/v AND the additive bias (the learned-hybrid-bias path) match the
+    plain XLA attention — training can take the flash forward."""
+    import jax
+
+    rs = np.random.RandomState(3)
+    b, h, lq, lk, dh = 2, 2, 24, 40, 16
+    q = jnp.asarray(rs.randn(b, h, lq, dh), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    bias = jnp.asarray(rs.randn(1, h, 1, lk).astype(np.float32) * 0.3)
+
+    def loss_flash(q, k, v, bias):
+        return (flash_attention(q, k, v, bias=bias, interpret=True)
+                * jnp.arange(dh)).sum()
+
+    def loss_xla(q, k, v, bias):
+        out, _ = dot_product_attention(q, k, v, bias=bias,
+                                       return_probs=False)
+        return (out * jnp.arange(dh)).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gx):
+        assert a.shape == b_.shape   # incl. unbroadcast bias grad shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_flash_gradients_no_bias():
+    import jax
+
+    rs = np.random.RandomState(4)
+    q = jnp.asarray(rs.randn(1, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
+
+    gf = jax.grad(lambda q: flash_attention(q, k, v, interpret=True)
+                  .sum())(q)
+    gx = jax.grad(lambda q: dot_product_attention(q, k, v,
+                                                  return_probs=False)[0]
+                  .sum())(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               atol=3e-5, rtol=1e-4)
