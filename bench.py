@@ -448,6 +448,42 @@ def main():
     except Exception as e:
         bf16_detail = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- trained-weights serving: the early-exit dividend -------------
+    # the fixed-shape while_loop terminates as soon as every instance's
+    # finished buffer fills; trained models emit EOS after ~10-12 tokens,
+    # so REAL serving runs far fewer than max_len-1 steps.  The headline
+    # stays on untrained weights (no early exit — conservative, and the
+    # reference-baseline measurement is untrained too); this reports what
+    # a deployed trained model actually sustains on the same programs.
+    trained_serving = None
+    if trained_vars is not None:
+        try:
+            tv = [trained_vars]
+            t_fused = t_bf512 = None
+            if fused_time is not None:
+                _drain(compiled_fused(tv, *fargs[1:]))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    _drain(compiled_fused(tv, *fargs[1:]))
+                t_fused = (time.perf_counter() - t0) / 3
+            if isinstance(bf16_detail, dict) and "error" not in bf16_detail:
+                _drain(compiled_sbf(tv, *sargs[1:]))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    _drain(compiled_sbf(tv, *sargs[1:]))
+                t_bf512 = (time.perf_counter() - t0) / 3
+            trained_serving = {
+                "f32_fused_k8_caps_per_s": (round(K_FUSED * BATCH / t_fused,
+                                                  2) if t_fused else None),
+                "bf16_b512_k2_caps_per_s": (round(2 * 512 / t_bf512, 2)
+                                            if t_bf512 else None),
+                "note": "same compiled programs, trained weights: the "
+                        "beam while_loop early-exits once every finished "
+                        "buffer fills",
+            }
+        except Exception as e:
+            trained_serving = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- flash vs XLA attention at the SwinBERTDense key length -------
     # proves the pallas kernel compiled on this chip, matched the fused
     # XLA path numerically, and reports its long-Lk speed
@@ -473,7 +509,10 @@ def main():
         # kernels.  Run the kernel N times sequentially INSIDE one
         # program (data-dependent scaling defeats CSE), subtract the
         # floor once, divide by N -> per-application device time.
-        N_CHAIN = 10
+        # N=50 keeps kernel time well above floor jitter (a 10-chain of
+        # the 0.6 ms kernel is ~6 ms, smaller than observed floor noise,
+        # and once clamped to 0).
+        N_CHAIN = 50
 
         def _time_chained(attn):
             @jax.jit
@@ -485,11 +524,12 @@ def main():
                                     length=N_CHAIN)
                 return c
             np.asarray(prog(qf, kf, vf))        # compile + warm
-            t0 = time.perf_counter()
+            best = float("inf")
             for _ in range(3):
+                t0 = time.perf_counter()
                 np.asarray(prog(qf, kf, vf))
-            t = (time.perf_counter() - t0) / 3
-            return max(t - dispatch_floor_s, 1e-9) / N_CHAIN
+                best = min(best, time.perf_counter() - t0)
+            return max(best - dispatch_floor_s, 1e-9) / N_CHAIN
 
         flash_detail = {
             "shape": [Bf, Hf, Lf, Dhf],
@@ -783,6 +823,7 @@ def main():
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
             "h2d_bandwidth_MBps": round(h2d_mbps, 1),
             "bf16_serving": bf16_detail,
+            "trained_serving": trained_serving,
             "flash_attention_lk1568": flash_detail,
             "large_arch": large_detail,
             "flagship_b512_f32": b512_detail,
