@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                       m_scratch, l_scratch, acc_scratch,
                       *, block_k: int, kv_len: int, scale: float,
                       has_bias: bool):
@@ -70,8 +70,12 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
         l = l_scratch[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        # log-sum-exp per query row, saved for the backward recompute;
+        # fully-masked (padding) rows get +BIG so exp(s - lse) == 0 there
+        lse = m_scratch[:] + jnp.log(safe_l)
+        lse_ref[0] = jnp.where(l == 0.0, 1e9, lse)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -129,14 +133,21 @@ def _flash_fwd_impl(query, key, value, bias, block_q: int, block_k: int,
         _flash_fwd_kernel, block_k=block_k, kv_len=lk, scale=scale,
         has_bias=has_bias)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=interpret,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dh), query.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_pad, dh), query.dtype),
+            jax.ShapeDtypeStruct((bh, lq_pad, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -150,7 +161,7 @@ def _flash_fwd_impl(query, key, value, bias, block_q: int, block_k: int,
     )(*args)
 
     out = out.reshape(b, h, lq_pad, dh)
-    return out[:, :, :lq, :]
+    return out[:, :, :lq, :], lse
 
 
 # ---------------------------------------------------------------------------
@@ -168,31 +179,243 @@ def _attention_reference(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                         delta_ref, dq_ref, dq_scratch,
+                         *, block_k: int, kv_len: int, scale: float,
+                         has_bias: bool):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_pos < kv_len, s, NEG_INF)
+
+    p = jnp.exp(s - lse_ref[0])                        # [bq, bk]
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [bq, bk]
+    g = p * (dp - delta_ref[0])                        # dL/ds_total
+    dq_scratch[:] += jax.lax.dot_general(
+        g.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                          delta_ref, dk_ref, dv_ref, dbias_ref,
+                          dk_scratch, dv_scratch, dbias_scratch,
+                          *, block_k: int, kv_len: int, scale: float,
+                          has_bias: bool):
+    q_idx = pl.program_id(2)
+    num_q = pl.num_programs(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+        dbias_scratch[:] = jnp.zeros_like(dbias_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [bq, bk]
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_pos < kv_len, s, NEG_INF)
+
+    # padded q rows contribute nothing: their do/delta are zero-padded,
+    # so g == 0 there
+    p = jnp.exp(s - lse_ref[0])
+    do = do_ref[0]
+    dv_scratch[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [bk, dh]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g = p * (dp - delta_ref[0])
+    dk_scratch[:] += jax.lax.dot_general(
+        g.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [bk, dh]
+    dbias_scratch[:] += jnp.sum(g, axis=0, keepdims=True)  # [1, bk]
+
+    @pl.when(q_idx == num_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+        dbias_ref[0] = dbias_scratch[:].astype(dbias_ref.dtype)
+
+
+def _unbroadcast(grad, shape):
+    """Sum ``grad`` down to ``shape`` (reverse of broadcasting)."""
+    axes = tuple(i for i, (g, s) in enumerate(zip(grad.shape, shape))
+                 if s == 1 and g != 1)
+    if axes:
+        grad = grad.sum(axis=axes, keepdims=True)
+    return grad.astype(jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(query, key, value, bias, block_q, block_k, interpret):
-    return _flash_fwd_impl(query, key, value, bias, block_q, block_k,
-                           interpret)
+    out, _ = _flash_fwd_impl(query, key, value, bias, block_q, block_k,
+                             interpret)
+    return out
 
 
 def _flash_fwd_rule(query, key, value, bias, block_q, block_k, interpret):
-    out = _flash_fwd_impl(query, key, value, bias, block_q, block_k,
-                          interpret)
-    return out, (query, key, value, bias)
+    out, lse = _flash_fwd_impl(query, key, value, bias, block_q, block_k,
+                               interpret)
+    return out, (query, key, value, bias, out, lse)
 
 
 def _flash_bwd_rule(block_q, block_k, interpret, res, do):
-    query, key, value, bias = res
+    """Backward via pallas kernels (dq; dk/dv/dbias-rowsum), recomputing
+    probabilities from the forward's saved log-sum-exp — nothing [Lq, Lk]
+    is ever materialised.  A bias with a real query extent (RPE tables)
+    needs the full [Lq, Lk] gradient, so that rare case falls back to the
+    XLA recompute rule."""
+    query, key, value, bias, out, lse = res
     scale = 1.0 / (query.shape[-1] ** 0.5)
-    if bias is None:
+
+    if bias is not None and bias.shape[-2] != 1:
         _, vjp = jax.vjp(
-            lambda q, k, v: _attention_reference(q, k, v, None, scale),
-            query, key, value)
-        dq, dk, dv = vjp(do)
+            lambda q, k, v, b: _attention_reference(q, k, v, b, scale),
+            query, key, value, bias)
+        dq, dk, dv, db = vjp(do)
+        return dq, dk, dv, db
+
+    b, h, lq, dh = query.shape
+    lk = key.shape[2]
+    lq_pad = _ceil_to(lq, block_q)
+    lk_pad = _ceil_to(lk, block_k)
+    bh = b * h
+
+    pad_q = ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))
+    q3 = jnp.pad(query, pad_q).reshape(bh, lq_pad, dh)
+    do3 = jnp.pad(do, pad_q).reshape(bh, lq_pad, dh)
+    o3 = jnp.pad(out, pad_q).reshape(bh, lq_pad, dh)
+    pad_k = ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0))
+    k3 = jnp.pad(key, pad_k).reshape(bh, lk_pad, dh)
+    v3 = jnp.pad(value, pad_k).reshape(bh, lk_pad, dh)
+
+    has_bias = bias is not None
+    if has_bias:
+        # lq extent is 1 here (checked above): ship the bias as
+        # [bh, 1, lk_pad] and let the kernels broadcast over query rows —
+        # never materialise an [Lq, Lk] bias
+        bias_b = jnp.broadcast_to(bias, (b, h, 1, lk)).astype(jnp.float32)
+        bias3 = jnp.pad(bias_b, ((0, 0), (0, 0), (0, 0),
+                                 (0, lk_pad - lk))).reshape(bh, 1, lk_pad)
+    else:
+        bias3 = jnp.zeros((1, 1, 1), jnp.float32)
+
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32),
+                    axis=-1, keepdims=True)            # [bh, lq_pad, 1]
+
+    grid_q = (bh, lq_pad // block_q, lk_pad // block_k)
+    bias_spec = (pl.BlockSpec((1, 1, block_k),
+                              lambda i, j, t: (i, 0, t),
+                              memory_space=pltpu.VMEM) if has_bias else
+                 pl.BlockSpec((1, 1, 1), lambda i, j, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM))
+    dq3 = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          kv_len=lk, scale=scale, has_bias=has_bias),
+        grid=grid_q,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec,
+            pl.BlockSpec((1, block_q, 1), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dh), query.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
+    )(q3, k3, v3, bias3, lse, do3, delta)
+
+    grid_kv = (bh, lk_pad // block_k, lq_pad // block_q)
+    bias_spec_kv = (pl.BlockSpec((1, 1, block_k),
+                                 lambda i, j, t: (i, 0, j),
+                                 memory_space=pltpu.VMEM) if has_bias else
+                    pl.BlockSpec((1, 1, 1), lambda i, j, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    dk3, dv3, dbias_row = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_k=block_k,
+                          kv_len=lk, scale=scale, has_bias=has_bias),
+        grid=grid_kv,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            bias_spec_kv,
+            pl.BlockSpec((1, block_q, 1), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, t: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk_pad, dh), key.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, dh), value.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lk_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((1, block_k), jnp.float32),
+        ],
+    )(q3, k3, v3, bias3, lse, do3, delta)
+
+    dq = dq3.reshape(b, h, lq_pad, dh)[:, :, :lq, :]
+    dk = dk3.reshape(b, h, lk_pad, dh)[:, :, :lk, :]
+    dv = dv3.reshape(b, h, lk_pad, dh)[:, :, :lk, :]
+    if not has_bias:
         return dq, dk, dv, None
-    _, vjp = jax.vjp(
-        lambda q, k, v, b: _attention_reference(q, k, v, b, scale),
-        query, key, value, bias)
-    dq, dk, dv, db = vjp(do)
+    db_full = dbias_row.reshape(b, h, 1, lk_pad)[:, :, :, :lk]
+    db = _unbroadcast(db_full, bias.shape).astype(bias.dtype)
     return dq, dk, dv, db
 
 

@@ -133,3 +133,53 @@ def test_flash_gradients_no_bias():
                   .sum())(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_flash_gradients_full_lq_bias_fallback():
+    """A bias with real query extent (RPE tables) takes the XLA-recompute
+    fallback; grads still match plain attention."""
+    import jax
+
+    rs = np.random.RandomState(5)
+    b, h, lq, lk, dh = 1, 2, 12, 20, 8
+    q = jnp.asarray(rs.randn(b, h, lq, dh), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    bias = jnp.asarray(rs.randn(1, h, lq, lk).astype(np.float32) * 0.3)
+
+    gf = jax.grad(lambda bias: flash_attention(
+        q, k, v, bias=bias, interpret=True).sum(), )(bias)
+    gx = jax.grad(lambda bias: dot_product_attention(
+        q, k, v, bias=bias, return_probs=False)[0].sum())(bias)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_flash_gradients_batch_bias_pallas_path():
+    """Pad-mask-shaped bias ([B,1,1,Lk], lq extent 1): the pallas backward
+    kernels produce q/k/v/bias grads matching plain attention, including
+    the unbroadcast over heads."""
+    import jax
+
+    rs = np.random.RandomState(6)
+    b, h, lq, lk, dh = 2, 2, 40, 72, 16
+    q = jnp.asarray(rs.randn(b, h, lq, dh), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, lk, dh), jnp.float32)
+    bias = jnp.asarray(rs.randn(b, 1, 1, lk).astype(np.float32))
+
+    def loss(fn):
+        def inner(q, k, v, bias):
+            return (fn(q, k, v, bias) * jnp.arange(dh)).sum()
+        return inner
+
+    gf = jax.grad(loss(lambda q, k, v, b_: flash_attention(
+        q, k, v, bias=b_, block_q=16, block_k=32, interpret=True)),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss(lambda q, k, v, b_: dot_product_attention(
+        q, k, v, bias=b_, return_probs=False)[0]),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gx):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
