@@ -266,12 +266,15 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
 
 
 def _unbroadcast(grad, shape):
-    """Sum ``grad`` down to ``shape`` (reverse of broadcasting)."""
+    """Sum ``grad`` down to ``shape`` (reverse of broadcasting), handling
+    a lower-rank target (leading broadcast dims)."""
+    while grad.ndim > len(shape):
+        grad = grad.sum(axis=0)
     axes = tuple(i for i, (g, s) in enumerate(zip(grad.shape, shape))
                  if s == 1 and g != 1)
     if axes:
         grad = grad.sum(axis=axes, keepdims=True)
-    return grad.astype(jnp.float32)
+    return grad.reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -296,7 +299,7 @@ def _flash_bwd_rule(block_q, block_k, interpret, res, do):
     query, key, value, bias, out, lse = res
     scale = 1.0 / (query.shape[-1] ** 0.5)
 
-    if bias is not None and bias.shape[-2] != 1:
+    if bias is not None and bias.ndim >= 2 and bias.shape[-2] != 1:
         _, vjp = jax.vjp(
             lambda q, k, v, b: _attention_reference(q, k, v, b, scale),
             query, key, value, bias)
