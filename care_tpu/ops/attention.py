@@ -39,8 +39,12 @@ def dot_product_attention(
     position bias, hybrid attention bias), matching the reference ordering of
     mask-then-bias.
     """
-    if (use_flash and not use_sigmoid and not return_probs
-            and (deterministic or dropout_rate == 0.0)):
+    # flash serves INFERENCE only (deterministic=True): for training,
+    # plain XLA attention measured faster end-to-end than flash-forward +
+    # any backward at the model's key lengths (the flash custom-VJP
+    # remains correct if a caller differentiates through it directly)
+    if (use_flash and deterministic and not use_sigmoid
+            and not return_probs):
         try:
             from care_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(query, key, value, bias=bias), None

@@ -277,37 +277,67 @@ def _unbroadcast(grad, shape):
     return grad.reshape(shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(query, key, value, bias, block_q, block_k, interpret):
+# memory threshold for the auto backward choice: the XLA recompute rule
+# stores the [bh, lq, lk] probabilities between its forward and backward
+# (fastest on v5e: 4.1 vs 5.6 ms at the SwinBERTDense shape — the pallas
+# kernels redo the score matmuls); above this many bytes the pallas
+# kernels take over so nothing [Lq, Lk]-sized is ever materialised
+_BWD_PALLAS_MIN_BYTES = 2e9
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(query, key, value, bias, block_q, block_k, interpret, backward):
     out, _ = _flash_fwd_impl(query, key, value, bias, block_q, block_k,
                              interpret)
     return out
 
 
-def _flash_fwd_rule(query, key, value, bias, block_q, block_k, interpret):
+def _flash_fwd_rule(query, key, value, bias, block_q, block_k, interpret,
+                    backward):
     out, lse = _flash_fwd_impl(query, key, value, bias, block_q, block_k,
                                interpret)
     return out, (query, key, value, bias, out, lse)
 
 
-def _flash_bwd_rule(block_q, block_k, interpret, res, do):
-    """Backward via pallas kernels (dq; dk/dv/dbias-rowsum), recomputing
-    probabilities from the forward's saved log-sum-exp — nothing [Lq, Lk]
-    is ever materialised.  A bias with a real query extent (RPE tables)
-    needs the full [Lq, Lk] gradient, so that rare case falls back to the
-    XLA recompute rule."""
+def _flash_bwd_rule(block_q, block_k, interpret, backward, res, do):
+    """Backward dispatch (``backward``: 'auto' | 'pallas' | 'xla'):
+
+    * ``xla`` — differentiate a plain-attention recompute; XLA stores the
+      [Lq, Lk] probabilities between its forward and backward.  Fastest on
+      v5e (measured 4.1 vs 5.6 ms full-grad at [4,8,1568,64]) because the
+      pallas kernels below must redo the score matmuls.
+    * ``pallas`` — dq and dk/dv/dbias kernels recompute probabilities
+      blockwise from the forward's saved log-sum-exp: nothing [Lq, Lk] is
+      ever materialised.  The memory-bound choice.
+    * ``auto`` — pallas once the probability tensor would exceed
+      ``_BWD_PALLAS_MIN_BYTES``, else xla.
+
+    A bias with a real query extent (RPE tables) needs the full [Lq, Lk]
+    bias gradient, so that case always uses the xla rule."""
     query, key, value, bias, out, lse = res
     scale = 1.0 / (query.shape[-1] ** 0.5)
 
+    b, h, lq, dh = query.shape
+    lk = key.shape[2]
+    p_bytes = b * h * lq * lk * 4
+    use_pallas = (backward == "pallas"
+                  or (backward == "auto"
+                      and p_bytes > _BWD_PALLAS_MIN_BYTES))
     if bias is not None and bias.ndim >= 2 and bias.shape[-2] != 1:
+        use_pallas = False
+    if not use_pallas:
+        if bias is None:
+            _, vjp = jax.vjp(
+                lambda q, k, v: _attention_reference(q, k, v, None, scale),
+                query, key, value)
+            dq, dk, dv = vjp(do)
+            return dq, dk, dv, None
         _, vjp = jax.vjp(
-            lambda q, k, v, b: _attention_reference(q, k, v, b, scale),
+            lambda q, k, v, b_: _attention_reference(q, k, v, b_, scale),
             query, key, value, bias)
         dq, dk, dv, db = vjp(do)
         return dq, dk, dv, db
 
-    b, h, lq, dh = query.shape
-    lk = key.shape[2]
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_k)
     bh = b * h
@@ -425,9 +455,11 @@ def _flash_bwd_rule(block_q, block_k, interpret, res, do):
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret", "backward"))
 def flash_attention(query, key, value, bias=None, block_q: int = None,
-                    block_k: int = None, interpret: bool = False):
+                    block_k: int = None, interpret: bool = False,
+                    backward: str = "auto"):
     """Flash attention. query/key/value: [B, H, L, Dh]; bias broadcastable
     to [B, H, Lq, Lk] (already includes masks).
 
@@ -439,15 +471,21 @@ def flash_attention(query, key, value, bias=None, block_q: int = None,
     longer key axes stream 512-wide KV blocks (128-divisible, as the bias
     BlockSpec lowering requires).
 
-    DIFFERENTIABLE (round 4): the backward pass follows the standard flash
-    recipe of recomputing attention instead of storing probabilities — the
-    recompute runs through XLA, so gradients (incl. the additive-bias path
+    DIFFERENTIABLE (round 4): gradients (incl. the additive-bias path
     feeding the learned hybrid bias / RPE tables) are exact w.r.t. plain
-    attention and training can take the flash forward. Grad parity is
-    locked by ``tests/test_flash_attention.py``."""
+    attention; ``backward`` picks between the XLA rule (stores the [Lq,Lk]
+    probabilities; fastest on v5e) and blockwise pallas kernels that
+    recompute from the saved log-sum-exp (nothing [Lq,Lk] materialised;
+    the long-sequence memory choice) — 'auto' switches on tensor size.
+    Grad parity for both rules is locked by
+    ``tests/test_flash_attention.py``.  NOTE for training at moderate
+    lengths, plain XLA attention end-to-end measured faster than
+    flash-fwd + any backward (the model's auto dispatch uses flash only
+    for inference)."""
     lq, lk = query.shape[2], key.shape[2]
     if block_q is None:
         block_q = min(256, _ceil_to(lq, 8))
     if block_k is None:
         block_k = _ceil_to(lk, 8) if lk <= 2048 else 512
-    return _flash(query, key, value, bias, block_q, block_k, interpret)
+    return _flash(query, key, value, bias, block_q, block_k, interpret,
+                  backward)

@@ -102,7 +102,8 @@ def test_flash_gradients_match_xla():
     bias = jnp.asarray(rs.randn(1, h, 1, lk).astype(np.float32) * 0.3)
 
     def loss_flash(q, k, v, bias):
-        return (flash_attention(q, k, v, bias=bias, interpret=True)
+        return (flash_attention(q, k, v, bias=bias, interpret=True,
+                                backward="pallas")
                 * jnp.arange(dh)).sum()
 
     def loss_xla(q, k, v, bias):
@@ -126,8 +127,8 @@ def test_flash_gradients_no_bias():
     k = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
     v = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
 
-    gf = jax.grad(lambda q: flash_attention(q, k, v, interpret=True)
-                  .sum())(q)
+    gf = jax.grad(lambda q: flash_attention(q, k, v, interpret=True,
+                                            backward="pallas").sum())(q)
     gx = jax.grad(lambda q: dot_product_attention(q, k, v,
                                                   return_probs=False)[0]
                   .sum())(q)
@@ -174,12 +175,39 @@ def test_flash_gradients_batch_bias_pallas_path():
         return inner
 
     gf = jax.grad(loss(lambda q, k, v, b_: flash_attention(
-        q, k, v, bias=b_, block_q=16, block_k=32, interpret=True)),
+        q, k, v, bias=b_, block_q=16, block_k=32, interpret=True,
+        backward="pallas")),
         argnums=(0, 1, 2, 3))(q, k, v, bias)
     gx = jax.grad(loss(lambda q, k, v, b_: dot_product_attention(
         q, k, v, bias=b_, return_probs=False)[0]),
         argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b_ in zip(gf, gx):
         assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_flash_backward_xla_rule_matches():
+    """The default/auto backward (XLA rule at small sizes) also matches."""
+    import jax
+
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(1, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 2, 24, 8), jnp.float32)
+    bias = jnp.asarray(rs.randn(1, 2, 1, 24), jnp.float32)
+
+    g_auto = jax.grad(lambda q, b: flash_attention(
+        q, k, v, bias=b, interpret=True).sum(), argnums=(0, 1))(q, bias)
+    g_pallas = jax.grad(lambda q, b: flash_attention(
+        q, k, v, bias=b, interpret=True, backward="pallas").sum(),
+        argnums=(0, 1))(q, bias)
+    g_ref = jax.grad(lambda q, b: dot_product_attention(
+        q, k, v, bias=b, return_probs=False)[0].sum(),
+        argnums=(0, 1))(q, bias)
+    for a, b_ in zip(g_auto, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+    for a, b_ in zip(g_pallas, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-5, rtol=1e-4)
