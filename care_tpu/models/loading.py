@@ -130,14 +130,10 @@ def load_model(checkpoint_path, new_opt_used_to_override: dict = None,
     return models, merged_opt
 
 
-def _restore_into_template(model, opt, raw_state, strict=True, verbose=True):
-    """Build an init template with tiny synthetic inputs, then graft the
-    restored arrays into it (shapes must match).
-
-    ``strict`` raises if the checkpoint is missing any template parameter
-    (a renamed module / truncated checkpoint must not silently evaluate
-    with fresh random weights — reference ``load_state_dict`` strictness,
-    ``models/__init__.py:97``)."""
+def init_variables_template(model, opt):
+    """Init the model's variable tree with tiny synthetic inputs (batch 1)
+    — the canonical template both for checkpoint restore and for
+    reference-weight transplantation (``models/transplant.py``)."""
     import jax
     import jax.numpy as jnp
 
@@ -155,8 +151,21 @@ def _restore_into_template(model, opt, raw_state, strict=True, verbose=True):
     batch = {"feats": feats,
              "input_ids": jnp.ones((1, opt["max_len"] - 1), jnp.int32)}
     rng = jax.random.PRNGKey(0)
-    template = model.init({"params": rng, "dropout": rng, "sampling": rng},
-                          batch, deterministic=True)
+    return model.init({"params": rng, "dropout": rng, "sampling": rng},
+                      batch, deterministic=True)
+
+
+def _restore_into_template(model, opt, raw_state, strict=True, verbose=True):
+    """Build an init template with tiny synthetic inputs, then graft the
+    restored arrays into it (shapes must match).
+
+    ``strict`` raises if the checkpoint is missing any template parameter
+    (a renamed module / truncated checkpoint must not silently evaluate
+    with fresh random weights — reference ``load_state_dict`` strictness,
+    ``models/__init__.py:97``)."""
+    import jax.numpy as jnp
+
+    template = init_variables_template(model, opt)
 
     flat_t = traverse_util.flatten_dict(template, sep="/")
     flat_r = traverse_util.flatten_dict(raw_state, sep="/")

@@ -1,0 +1,381 @@
+"""Reference-checkpoint weight transplantation: torch state_dict -> flax.
+
+Lets a user of the PyTorch reference carry trained checkpoints over:
+``misc_tools/convert_reference_ckpt.py`` loads a reference Lightning
+checkpoint (``{'state_dict', 'hyper_parameters': {'opt'}}`` — the format
+``models/__init__.py:115`` / ``Wrapper.load_from_checkpoint`` consumes),
+maps every parameter into our ``Captioner`` tree by structure (torch
+``(out,in)`` linears -> flax ``(in,out)`` kernels, BatchNorm running stats
+-> ``batch_stats``, ...), and saves it in our checkpoint format so
+``translate.py -cp`` serves it directly.
+
+The per-family mappers below are the same ones the parity suite uses to
+pin logit-level equality (2e-4) against the reference
+(``tests/test_reference_parity.py``), so a converted checkpoint decodes
+with reference-equal logits by construction.
+
+Covered: Embedder / EncoderWithHighWayBN encoders, Transformer + TwoStage
+(NACF) + SALSTM decoders, the CARE concept stack (MIL predictor +
+SemanticContainer), PointerGen, and the NACF length predictor — i.e. every
+method preset shipped in the reference's experiment grid
+(``config/methods.yaml``). Other encoder variants raise with a clear
+message. Consumption of the torch state_dict is tracked so unmapped
+*parameters* are reported instead of silently dropped.
+"""
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+__all__ = [
+    "transplant_transformer_weights", "transplant_salstm_weights",
+    "transplant_pointer_weights", "transplant_length_predictor",
+    "transplant_highwaybn_encoder", "transplant_reference_state_dict",
+    "strip_wrapper_prefix",
+]
+
+# torch buffers that have no flax-parameter counterpart (deterministic or
+# bookkeeping-only); never reported as unmapped.
+_BUFFER_PATTERNS = (
+    r"\.num_batches_tracked$",
+    r"\.position_ids$",
+    r"\.pe$",                      # sinusoidal position-encoding buffer
+    r"(^|\.)mask($|\.)",           # cached attention masks
+)
+
+
+def _to_np(v):
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+class _NPView:
+    """Mapping view over a torch state_dict: converts tensors to numpy on
+    access and records which keys a transplant consumed."""
+
+    def __init__(self, sd):
+        self._sd = sd
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        v = _to_np(self._sd[k])
+        self.consumed.add(k)
+        return v
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def keys(self):
+        return self._sd.keys()
+
+
+def _view(state_dict) -> _NPView:
+    return state_dict if isinstance(state_dict, _NPView) \
+        else _NPView(state_dict)
+
+
+def _set(tree, path, value):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    assert keys[-1] in node, (path, sorted(node.keys()))
+    assert tuple(node[keys[-1]].shape) == tuple(value.shape), \
+        (path, node[keys[-1]].shape, value.shape)
+    node[keys[-1]] = value
+
+
+def transplant_transformer_weights(state_dict, flax_params, opt):
+    """Map the reference TransformerSeq2Seq weights into our Captioner
+    params (Transformer/TwoStage methods; Embedder encoder; NaiveHead)."""
+    sd = _view(state_dict)
+    p = flax_params
+
+    # encoder streams: encoder.Encoder_M.0.{weight,bias} (Linear),
+    # .1 LayerNorm
+    for char in opt["modality"]:
+        C = char.upper()
+        _set(p, f"encoder/Encoder_{C}/linear/kernel",
+             sd[f"encoder.Encoder_{C}.0.weight"].T)
+        _set(p, f"encoder/Encoder_{C}/linear/bias",
+             sd[f"encoder.Encoder_{C}.0.bias"])
+        _set(p, f"encoder/Encoder_{C}/ln/scale",
+             sd[f"encoder.Encoder_{C}.1.weight"])
+        _set(p, f"encoder/Encoder_{C}/ln/bias",
+             sd[f"encoder.Encoder_{C}.1.bias"])
+
+    # decoder embeddings
+    _set(p, "decoder/embedding/word_embeddings",
+         sd["decoder.embedding.word_embeddings.weight"])
+    if opt.get("trainable_pe"):
+        _set(p, "decoder/embedding/position_embeddings/embedding",
+             sd["decoder.embedding.position_embeddings.weight"])
+    _set(p, "decoder/embedding/LayerNorm/scale",
+         sd["decoder.embedding.LayerNorm.weight"])
+    _set(p, "decoder/embedding/LayerNorm/bias",
+         sd["decoder.embedding.LayerNorm.bias"])
+
+    # decoder layers
+    for i in range(opt["num_hidden_layers_decoder"]):
+        for ours, theirs in [
+                ("intra_attention", f"decoder.layers.{i}.intra_attention"),
+                ("inter_attention", f"decoder.layers.{i}.inter_attention")]:
+            base = f"decoder/layer_{i}/{ours}"
+            for proj in ["query", "key", "value"]:
+                _set(p, f"{base}/{proj}/kernel",
+                     sd[f"{theirs}.SDPA.{proj}.weight"].T)
+                _set(p, f"{base}/{proj}/bias",
+                     sd[f"{theirs}.SDPA.{proj}.bias"])
+            _set(p, f"{base}/dense/kernel", sd[f"{theirs}.dense.weight"].T)
+            _set(p, f"{base}/dense/bias", sd[f"{theirs}.dense.bias"])
+            _set(p, f"{base}/LayerNorm/scale",
+                 sd[f"{theirs}.LayerNorm.weight"])
+            _set(p, f"{base}/LayerNorm/bias", sd[f"{theirs}.LayerNorm.bias"])
+            if f"{theirs}.SDPA.hybrid_bias" in sd:
+                _set(p, f"{base}/hybrid_bias",
+                     sd[f"{theirs}.SDPA.hybrid_bias"])
+        ffn_t = f"decoder.layers.{i}.ffn"
+        ffn_o = f"decoder/layer_{i}/ffn"
+        _set(p, f"{ffn_o}/dense1/kernel", sd[f"{ffn_t}.dense1.weight"].T)
+        _set(p, f"{ffn_o}/dense1/bias", sd[f"{ffn_t}.dense1.bias"])
+        _set(p, f"{ffn_o}/dense2/kernel", sd[f"{ffn_t}.dense2.weight"].T)
+        _set(p, f"{ffn_o}/dense2/bias", sd[f"{ffn_t}.dense2.bias"])
+        _set(p, f"{ffn_o}/LayerNorm/scale", sd[f"{ffn_t}.LayerNorm.weight"])
+        _set(p, f"{ffn_o}/LayerNorm/bias", sd[f"{ffn_t}.LayerNorm.bias"])
+
+    # head
+    _set(p, "cls_head/tgt_word_prj/kernel",
+         sd["cls_head.tgt_word_prj.weight"].T)
+
+    return _transplant_concept_stack(sd, p, opt)
+
+
+def transplant_salstm_weights(state_dict, flax_params, opt):
+    """Map the reference RNNSeq2Seq (SALSTM) weights into our Captioner."""
+    sd = _view(state_dict)
+    p = flax_params
+
+    for char in opt["modality"]:
+        C = char.upper()
+        _set(p, f"encoder/Encoder_{C}/linear/kernel",
+             sd[f"encoder.Encoder_{C}.0.weight"].T)
+        _set(p, f"encoder/Encoder_{C}/linear/bias",
+             sd[f"encoder.Encoder_{C}.0.bias"])
+        _set(p, f"encoder/Encoder_{C}/ln/scale",
+             sd[f"encoder.Encoder_{C}.1.weight"])
+        _set(p, f"encoder/Encoder_{C}/ln/bias",
+             sd[f"encoder.Encoder_{C}.1.bias"])
+
+    d = "decoder"
+    _set(p, f"{d}/word_embeddings", sd["decoder.embedding.weight"])
+    _set(p, f"{d}/LayerNorm/scale", sd["decoder.LayerNorm.weight"])
+    _set(p, f"{d}/LayerNorm/bias", sd["decoder.LayerNorm.bias"])
+    # LSTM cell: torch weight_ih (4h, in) -> kernel (in, 4h)
+    _set(p, f"{d}/rnn/ih/kernel", sd["decoder.rnn.weight_ih"].T)
+    _set(p, f"{d}/rnn/ih/bias", sd["decoder.rnn.bias_ih"])
+    _set(p, f"{d}/rnn/hh/kernel", sd["decoder.rnn.weight_hh"].T)
+    _set(p, f"{d}/rnn/hh/bias", sd["decoder.rnn.bias_hh"])
+    _set(p, f"{d}/v2h/kernel", sd["decoder.v2h.weight"].T)
+    _set(p, f"{d}/v2h/bias", sd["decoder.v2h.bias"])
+    _set(p, f"{d}/v2c/kernel", sd["decoder.v2c.weight"].T)
+    _set(p, f"{d}/v2c/bias", sd["decoder.v2c.bias"])
+    # additive attention
+    _set(p, f"{d}/att/linear1_h/kernel", sd["decoder.att.linear1_h.weight"].T)
+    _set(p, f"{d}/att/linear1_h/bias", sd["decoder.att.linear1_h.bias"])
+    _set(p, f"{d}/att/linear1_f_0/kernel",
+         sd["decoder.att.linear1_f.0.weight"].T)
+    _set(p, f"{d}/att/linear1_f_0/bias", sd["decoder.att.linear1_f.0.bias"])
+    _set(p, f"{d}/att/linear2/kernel", sd["decoder.att.linear2.weight"].T)
+    _set(p, "cls_head/tgt_word_prj/kernel",
+         sd["cls_head.tgt_word_prj.weight"].T)
+    return p
+
+
+def transplant_pointer_weights(state_dict, flax_params):
+    """Map the reference Pointer (``models/Pointer.py:18-31``: bare SDPA
+    q/k/v + Wq/Wc gate linears) into our ``models/pointer.py`` params."""
+    sd = _view(state_dict)
+    p = flax_params
+    for proj in ["query", "key", "value"]:
+        _set(p, f"pointer/attention/{proj}/kernel",
+             sd[f"pointer.attention.{proj}.weight"].T)
+        _set(p, f"pointer/attention/{proj}/bias",
+             sd[f"pointer.attention.{proj}.bias"])
+    for lin in ["Wq", "Wc"]:
+        _set(p, f"pointer/{lin}/kernel", sd[f"pointer.{lin}.weight"].T)
+        _set(p, f"pointer/{lin}/bias", sd[f"pointer.{lin}.bias"])
+    return p
+
+
+def transplant_length_predictor(state_dict, flax_params, net_index=0):
+    """Map the reference ``Predictor_length`` MLP
+    (``pred_length.py:8-13``: Linear-ReLU-Dropout-Linear at
+    ``predictor.nets.<i>.net``) into our ``PredictorLength`` params."""
+    sd = _view(state_dict)
+    p = flax_params
+    base = f"predictor.nets.{net_index}.net"
+    _set(p, "predictor/Predictor_length/net1/kernel", sd[f"{base}.0.weight"].T)
+    _set(p, "predictor/Predictor_length/net1/bias", sd[f"{base}.0.bias"])
+    _set(p, "predictor/Predictor_length/net2/kernel", sd[f"{base}.3.weight"].T)
+    _set(p, "predictor/Predictor_length/net2/bias", sd[f"{base}.3.bias"])
+    return p
+
+
+def transplant_highwaybn_encoder(state_dict, flax_variables, opt):
+    """Map the ARB/NAB EncoderWithHighWayBN streams (Linear + HighWay +
+    BatchNorm1d + Dropout) into params + batch_stats."""
+    sd = _view(state_dict)
+    p = flax_variables["params"]
+    bs = flax_variables["batch_stats"]
+    for char in opt["modality"]:
+        C = char.upper()
+        base_t = f"encoder.Encoder_{C}"
+        base_o = f"encoder/Encoder_{C}"
+        _set(p, f"{base_o}/linear/kernel", sd[f"{base_t}.0.weight"].T)
+        _set(p, f"{base_o}/linear/bias", sd[f"{base_t}.0.bias"])
+        _set(p, f"{base_o}/highway/w1/kernel", sd[f"{base_t}.1.w1.weight"].T)
+        _set(p, f"{base_o}/highway/w1/bias", sd[f"{base_t}.1.w1.bias"])
+        _set(p, f"{base_o}/highway/w2/kernel", sd[f"{base_t}.1.w2.weight"].T)
+        _set(p, f"{base_o}/highway/w2/bias", sd[f"{base_t}.1.w2.bias"])
+        _set(p, f"{base_o}/bn/bn/scale", sd[f"{base_t}.2.bn.weight"])
+        _set(p, f"{base_o}/bn/bn/bias", sd[f"{base_t}.2.bn.bias"])
+        _set(bs, f"{base_o}/bn/bn/mean", sd[f"{base_t}.2.bn.running_mean"])
+        _set(bs, f"{base_o}/bn/bn/var", sd[f"{base_t}.2.bn.running_var"])
+    return {"params": p, "batch_stats": bs}
+
+
+def _transplant_concept_stack(sd, p, opt):
+    # optional concept stack (CARE)
+    if opt.get("attribute_prediction"):
+        # Predictor_attribute prj (single 'V' flag -> one Linear)
+        _set(p, "predictor/Predictor_attribute/attribute_heads/prj/kernel",
+             sd["predictor.nets.0.prj.weight"].T)
+        _set(p, "predictor/Predictor_attribute/attribute_heads/prj/bias",
+             sd["predictor.nets.0.prj.bias"])
+    if opt.get("use_attr"):
+        base_t = "predictor.nets.1.attr_embs"
+        base_o = "predictor/SemanticContainer/attr_embs"
+        if f"{base_t}.word_embeddings.weight" in sd:
+            _set(p, f"{base_o}/word_embeddings",
+                 sd[f"{base_t}.word_embeddings.weight"])
+            _set(p, f"{base_o}/position_embeddings",
+                 sd[f"{base_t}.position_embeddings.weight"])
+            _set(p, f"{base_o}/LayerNorm/scale",
+                 sd[f"{base_t}.LayerNorm.weight"])
+            _set(p, f"{base_o}/LayerNorm/bias",
+                 sd[f"{base_t}.LayerNorm.bias"])
+        if "predictor.nets.1.semantic2hidden.weight" in sd:
+            _set(p, "predictor/SemanticContainer/semantic2hidden/kernel",
+                 sd["predictor.nets.1.semantic2hidden.weight"].T)
+            if "predictor.nets.1.semantic2hidden.bias" in sd:
+                _set(p, "predictor/SemanticContainer/semantic2hidden/bias",
+                     sd["predictor.nets.1.semantic2hidden.bias"])
+    return p
+
+
+# ---------------------------------------------------------------------------
+# whole-checkpoint dispatch
+# ---------------------------------------------------------------------------
+
+def strip_wrapper_prefix(state_dict, source: str = "captioner"
+                         ) -> Tuple[Dict, Dict]:
+    """Split a Lightning-checkpoint state_dict into the captioner's own
+    keys and any mean-teacher copy (``Wrapper.py``: ``self.captioner`` /
+    ``self.teacher_captioner``). Accepts bare captioner state_dicts too.
+
+    Returns (selected, other): ``selected`` is the ``source`` module's
+    state_dict with the prefix stripped."""
+    out = {"captioner": {}, "teacher_captioner": {}}
+    bare = {}
+    for k, v in state_dict.items():
+        for prefix in out:
+            if k.startswith(prefix + "."):
+                out[prefix][k[len(prefix) + 1:]] = v
+                break
+        else:
+            bare[k] = v
+    if not out["captioner"] and not out["teacher_captioner"]:
+        # already a bare captioner state_dict
+        return bare, {}
+    assert source in out, source
+    other = out["teacher_captioner" if source == "captioner"
+                else "captioner"]
+    return out[source], other
+
+
+def _is_buffer(key: str) -> bool:
+    return any(re.search(pat, key) for pat in _BUFFER_PATTERNS)
+
+
+def transplant_reference_state_dict(state_dict, variables, opt,
+                                    verbose: bool = True):
+    """Transplant a full reference captioner state_dict into ``variables``
+    (our init template), dispatching on the opt's encoder/decoder the same
+    way ``models/Framework.py:get_framework`` assembles the torch model.
+
+    Returns (variables, report) where report lists the torch keys that were
+    consumed, skipped as buffers, and left unmapped (unmapped parameters
+    indicate an unsupported sub-module and should be treated as an error
+    by strict callers)."""
+    sd, other = strip_wrapper_prefix(state_dict)
+    if other and verbose:
+        print(f"- dropping {len(other)} teacher_captioner keys "
+              "(use --from-teacher to convert the teacher copy)")
+    view = _NPView(sd)
+
+    enc = opt.get("encoder", "Embedder")
+    dec = opt["decoder"]
+    t_opt = dict(opt)
+
+    if enc == "EncoderWithHighWayBN":
+        variables = transplant_highwaybn_encoder(view, variables, opt)
+        t_opt["modality"] = ""          # encoder handled above
+    elif enc != "Embedder":
+        raise NotImplementedError(
+            f"checkpoint conversion does not support encoder `{enc}` yet "
+            "(supported: Embedder, EncoderWithHighWayBN)")
+
+    params = variables["params"]
+    if dec in ("TransformerDecoder", "TwoStageTransformerDecoder"):
+        params = transplant_transformer_weights(view, params, t_opt)
+    elif dec == "SingleLayerRNNDecoder":
+        params = transplant_salstm_weights(view, params, t_opt)
+    else:
+        raise NotImplementedError(
+            f"checkpoint conversion does not support decoder `{dec}` yet "
+            "(supported: TransformerDecoder, TwoStageTransformerDecoder, "
+            "SingleLayerRNNDecoder)")
+
+    if any(k.startswith("pointer.") for k in sd):
+        params = transplant_pointer_weights(view, params)
+
+    # NACF length predictor: locate its net index in predictor.nets
+    if "Predictor_length" in params.get("predictor", {}):
+        idxs = sorted({int(m.group(1)) for k in sd
+                       if (m := re.match(
+                           r"predictor\.nets\.(\d+)\.net\.0\.weight$", k))})
+        assert len(idxs) == 1, \
+            f"expected exactly one Predictor_length in the checkpoint, " \
+            f"found nets {idxs}"
+        params = transplant_length_predictor(view, params,
+                                             net_index=idxs[0])
+
+    variables = dict(variables)
+    variables["params"] = params
+
+    unmapped = [k for k in sd
+                if k not in view.consumed and not _is_buffer(k)]
+    report = {
+        "consumed": sorted(view.consumed),
+        "buffers_skipped": sorted(k for k in sd
+                                  if k not in view.consumed
+                                  and _is_buffer(k)),
+        "unmapped": sorted(unmapped),
+    }
+    if verbose and unmapped:
+        print(f"- WARNING: {len(unmapped)} torch keys were not mapped: "
+              f"{report['unmapped'][:10]}"
+              f"{'…' if len(unmapped) > 10 else ''}")
+    return variables, report

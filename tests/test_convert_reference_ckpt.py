@@ -1,0 +1,159 @@
+"""Reference-checkpoint conversion end to end.
+
+A reference user's trained Lightning checkpoint
+(``{'state_dict': captioner.* , 'hyper_parameters': {'opt'}}``, the format
+``models/__init__.py:115`` loads) must convert into our checkpoint format
+and serve with reference-equal logits through our normal ``load_model``
+path — the actual switch-over story, not just the test-side transplant.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from test_reference_parity import _our_opt, _ref_opt
+
+from reference_adapter import import_reference
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "misc_tools"))
+
+
+def _fake_lightning_ckpt(torch, ref_model, opt, path):
+    """Simulate the reference Wrapper's checkpoint: the captioner lives at
+    ``self.captioner`` (``Wrapper.py:32``), so its state_dict keys carry
+    the ``captioner.`` prefix."""
+    sd = {f"captioner.{k}": v for k, v in ref_model.state_dict().items()}
+    torch.save({"state_dict": sd, "hyper_parameters": {"opt": opt}}, path)
+
+
+def test_convert_care_transformer_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt(care=True)
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    # serve through the NORMAL loading path (strict: every template param
+    # must come from the converted checkpoint)
+    from care_tpu.models.loading import load_model
+    models, loaded_opt = load_model(out_path, do_replace_paths=False,
+                                    strict=True)
+    (model, variables), = models
+    assert loaded_opt["decoder"] == "TransformerDecoder"
+
+    B = 3
+    rs = np.random.RandomState(7)
+    feats_np = [rs.randn(B, 8, 24).astype(np.float32),
+                rs.randn(B, 8, 16).astype(np.float32)]
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model({
+            "feats": [torch.from_numpy(f) for f in feats_np],
+            "input_ids": torch.from_numpy(input_ids_np)})
+
+    import jax.numpy as jnp
+    out = model.apply(variables,
+                      {"feats": [jnp.asarray(f) for f in feats_np],
+                       "input_ids": jnp.asarray(
+                           input_ids_np.astype(np.int32))},
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy(),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_convert_nab_highwaybn_checkpoint(tmp_path):
+    """HighWayBN encoder: BatchNorm running stats must land in
+    batch_stats and survive the save/load round trip."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "EncoderWithHighWayBN",
+                    "decoding_type": "NARFormer", "enhance_input": 2})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    # randomize BN running stats away from init so parity actually tests
+    # the transplanted buffers
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+    ref_model.eval()
+
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    from care_tpu.models.loading import load_model
+    models, _ = load_model(out_path, do_replace_paths=False, strict=True)
+    (model, variables), = models
+    assert "batch_stats" in variables
+
+    B = 3
+    rs = np.random.RandomState(5)
+    feats_np = [rs.randn(B, 8, 24).astype(np.float32),
+                rs.randn(B, 8, 16).astype(np.float32)]
+    canvas = np.full((B, 11), 4, dtype=np.int64)
+    canvas[:, 8:] = 0
+
+    with torch.no_grad():
+        ref_out = ref_model({"feats": [torch.from_numpy(f)
+                                       for f in feats_np],
+                             "input_ids": torch.from_numpy(canvas)})
+
+    import jax.numpy as jnp
+    out = model.apply(variables,
+                      {"feats": [jnp.asarray(f) for f in feats_np],
+                       "input_ids": jnp.asarray(canvas.astype(np.int32))},
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy(),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_convert_rejects_unmapped_params(tmp_path):
+    """A checkpoint with a parameter we cannot place must fail loudly,
+    not silently serve fresh random weights for that module."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    opt = _our_opt(ref_opt)
+
+    sd = {f"captioner.{k}": v for k, v in ref_model.state_dict().items()}
+    sd["captioner.mystery_module.weight"] = torch.zeros(3, 3)
+    in_path = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": sd, "hyper_parameters": {"opt": opt}},
+               in_path)
+
+    with pytest.raises(SystemExit):
+        convert(in_path, str(tmp_path / "out.ckpt"), verbose=False)
+    report = convert(in_path, str(tmp_path / "out2.ckpt"),
+                     allow_unmapped=True, verbose=False)
+    assert report["unmapped"] == ["mystery_module.weight"]
