@@ -618,17 +618,15 @@ class SingleLayerRNNDecoder(nn.Module):
         self.with_category = opt.get("with_category", False)
 
     def init_rnn_state(self, encoder_hidden_states):
-        bsz = (encoder_hidden_states[0].shape[0]
-               if isinstance(encoder_hidden_states, (list, tuple))
-               else encoder_hidden_states.shape[0])
-        d = self.opt["dim_hidden"]
+        mean_v = _mean_video_features(encoder_hidden_states)
         if self.has_v2h_v2c:
-            mean_v = _mean_video_features(encoder_hidden_states)
             hidden = self.v2h(mean_v)
             cell = self.v2c(mean_v) if self.rnn_type == "lstm" else None
         else:
-            hidden = jnp.zeros((bsz, d))
-            cell = jnp.zeros((bsz, d)) if self.rnn_type == "lstm" else None
+            # reference ``RNN_single_layer.py:91-113``: with v2h/v2c set to
+            # None (VOE), h0/c0 are the RAW mean video features, not zeros
+            hidden = mean_v
+            cell = mean_v if self.rnn_type == "lstm" else None
         return (hidden, cell) if self.rnn_type == "lstm" else hidden
 
     def _get_h(self, state):

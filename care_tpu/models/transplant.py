@@ -30,6 +30,7 @@ import numpy as np
 
 __all__ = [
     "transplant_transformer_weights", "transplant_salstm_weights",
+    "transplant_topdown_weights", "transplant_voe_weights",
     "transplant_pointer_weights", "transplant_length_predictor",
     "transplant_highwaybn_encoder", "transplant_reference_state_dict",
     "strip_wrapper_prefix",
@@ -177,10 +178,11 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
     _set(p, f"{d}/rnn/ih/bias", sd["decoder.rnn.bias_ih"])
     _set(p, f"{d}/rnn/hh/kernel", sd["decoder.rnn.weight_hh"].T)
     _set(p, f"{d}/rnn/hh/bias", sd["decoder.rnn.bias_hh"])
-    _set(p, f"{d}/v2h/kernel", sd["decoder.v2h.weight"].T)
-    _set(p, f"{d}/v2h/bias", sd["decoder.v2h.bias"])
-    _set(p, f"{d}/v2c/kernel", sd["decoder.v2c.weight"].T)
-    _set(p, f"{d}/v2c/bias", sd["decoder.v2c.bias"])
+    if not opt.get("_no_v2h_v2c"):      # VOE decoder: no v2h/v2c init
+        _set(p, f"{d}/v2h/kernel", sd["decoder.v2h.weight"].T)
+        _set(p, f"{d}/v2h/bias", sd["decoder.v2h.bias"])
+        _set(p, f"{d}/v2c/kernel", sd["decoder.v2c.weight"].T)
+        _set(p, f"{d}/v2c/bias", sd["decoder.v2c.bias"])
     # additive attention
     _set(p, f"{d}/att/linear1_h/kernel", sd["decoder.att.linear1_h.weight"].T)
     _set(p, f"{d}/att/linear1_h/bias", sd["decoder.att.linear1_h.bias"])
@@ -191,6 +193,108 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
     _set(p, "cls_head/tgt_word_prj/kernel",
          sd["cls_head.tgt_word_prj.weight"].T)
     return p
+
+
+def _transplant_lstm_cell(sd, p, torch_base: str, flax_base: str):
+    """torch nn.LSTMCell (weight_ih (4h,in), gate order i,f,g,o) -> our
+    LSTMCellTorch ih/hh denses (the reference's +1 forget-bias offset is
+    already baked into the saved biases)."""
+    _set(p, f"{flax_base}/ih/kernel", sd[f"{torch_base}.weight_ih"].T)
+    _set(p, f"{flax_base}/ih/bias", sd[f"{torch_base}.bias_ih"])
+    _set(p, f"{flax_base}/hh/kernel", sd[f"{torch_base}.weight_hh"].T)
+    _set(p, f"{flax_base}/hh/bias", sd[f"{torch_base}.bias_hh"])
+
+
+def _transplant_additive_attention(sd, p, torch_base: str, flax_base: str):
+    """Reference ``AdditiveAttention`` (``components/Attention.py:134-161``)
+    -> our params; single feats stream (temporal_concat fusion)."""
+    _set(p, f"{flax_base}/linear1_h/kernel", sd[f"{torch_base}.linear1_h.weight"].T)
+    _set(p, f"{flax_base}/linear1_h/bias", sd[f"{torch_base}.linear1_h.bias"])
+    _set(p, f"{flax_base}/linear1_f_0/kernel",
+         sd[f"{torch_base}.linear1_f.0.weight"].T)
+    _set(p, f"{flax_base}/linear1_f_0/bias", sd[f"{torch_base}.linear1_f.0.bias"])
+    _set(p, f"{flax_base}/linear2/kernel", sd[f"{torch_base}.linear2.weight"].T)
+    if f"{torch_base}.hybrid_bias" in sd:
+        _set(p, f"{flax_base}/hybrid_bias", sd[f"{torch_base}.hybrid_bias"])
+
+
+def transplant_topdown_weights(state_dict, flax_params, opt):
+    """Map the reference ``TopDownAttentionRNNDecoder``
+    (``RNN_multi_layers.py:60-125``: two LSTM cells, Sequential v2h/v2c,
+    additive attention) into our ``models/decoders.py`` params."""
+    sd = _view(state_dict)
+    p = flax_params
+    assert not opt.get("rnn_use_mha"), \
+        "TopDown MHA attention variant is not supported by the converter yet"
+
+    for char in opt["modality"]:
+        C = char.upper()
+        _set(p, f"encoder/Encoder_{C}/linear/kernel",
+             sd[f"encoder.Encoder_{C}.0.weight"].T)
+        _set(p, f"encoder/Encoder_{C}/linear/bias",
+             sd[f"encoder.Encoder_{C}.0.bias"])
+        _set(p, f"encoder/Encoder_{C}/ln/scale",
+             sd[f"encoder.Encoder_{C}.1.weight"])
+        _set(p, f"encoder/Encoder_{C}/ln/bias",
+             sd[f"encoder.Encoder_{C}.1.bias"])
+
+    d = "decoder"
+    _set(p, f"{d}/word_embeddings", sd["decoder.embedding.weight"])
+    _set(p, f"{d}/LayerNorm/scale", sd["decoder.LayerNorm.weight"])
+    _set(p, f"{d}/LayerNorm/bias", sd["decoder.LayerNorm.bias"])
+    _transplant_lstm_cell(sd, p, "decoder.bottom_rnn", f"{d}/bottom_rnn")
+    _transplant_lstm_cell(sd, p, "decoder.top_rnn", f"{d}/top_rnn")
+    # v2h/v2c are Sequential(Linear, Tanh) in the reference
+    for lin in ["v2h", "v2c"]:
+        _set(p, f"{d}/{lin}/kernel", sd[f"decoder.{lin}.0.weight"].T)
+        _set(p, f"{d}/{lin}/bias", sd[f"decoder.{lin}.0.bias"])
+    _transplant_additive_attention(sd, p, "decoder.att", f"{d}/att")
+    if "decoder.semantic_att.linear1_h.weight" in sd:
+        _transplant_additive_attention(sd, p, "decoder.semantic_att",
+                                       f"{d}/semantic_att")
+    _set(p, "cls_head/tgt_word_prj/kernel",
+         sd["cls_head.tgt_word_prj.weight"].T)
+    return p
+
+
+def transplant_voe_weights(state_dict, flax_variables, opt):
+    """Map the reference VOE stack (``Encoder.py:379-412``: chained
+    per-modality ``nn.GRU`` + BN1d; ``RNN_single_layer.py:354``: SALSTM
+    decoder without v2h/v2c) into our params + batch_stats.
+
+    torch GRU gate order is r,z,n with separate ih/hh biases; flax's
+    ``nn.GRUCell`` keeps only the input-side r/z biases, so the torch
+    hidden-side r/z biases are folded in (the n-gate hidden bias stays
+    separate because it sits inside the reset multiplication)."""
+    sd = _view(state_dict)
+    p = flax_variables["params"]
+    bs = flax_variables["batch_stats"]
+    h = opt["dim_hidden"]
+    for char in opt["modality"]:
+        if char == "t":
+            continue
+        tb, fb = f"encoder.RNN_{char}", f"encoder/RNN_{char}"
+        w_ih = sd[f"{tb}.weight_ih_l0"]          # (3h, in) — r|z|n
+        w_hh = sd[f"{tb}.weight_hh_l0"]          # (3h, h)
+        b_ih = sd[f"{tb}.bias_ih_l0"]
+        b_hh = sd[f"{tb}.bias_hh_l0"]
+        for j, gate in enumerate(["r", "z", "n"]):
+            sl = slice(j * h, (j + 1) * h)
+            _set(p, f"{fb}/i{gate}/kernel", w_ih[sl].T)
+            _set(p, f"{fb}/h{gate}/kernel", w_hh[sl].T)
+            if gate == "n":
+                _set(p, f"{fb}/in/bias", b_ih[sl])
+                _set(p, f"{fb}/hn/bias", b_hh[sl])
+            else:
+                _set(p, f"{fb}/i{gate}/bias", b_ih[sl] + b_hh[sl])
+    _set(p, "encoder/bn/bn/scale", sd["encoder.bn.bn.weight"])
+    _set(p, "encoder/bn/bn/bias", sd["encoder.bn.bn.bias"])
+    _set(bs, "encoder/bn/bn/mean", sd["encoder.bn.bn.running_mean"])
+    _set(bs, "encoder/bn/bn/var", sd["encoder.bn.bn.running_var"])
+
+    p = transplant_salstm_weights(sd, p, {**opt, "modality": "",
+                                          "_no_v2h_v2c": True})
+    return {"params": p, "batch_stats": bs}
 
 
 def transplant_pointer_weights(state_dict, flax_params):
@@ -329,24 +433,32 @@ def transplant_reference_state_dict(state_dict, variables, opt,
     dec = opt["decoder"]
     t_opt = dict(opt)
 
-    if enc == "EncoderWithHighWayBN":
-        variables = transplant_highwaybn_encoder(view, variables, opt)
-        t_opt["modality"] = ""          # encoder handled above
-    elif enc != "Embedder":
-        raise NotImplementedError(
-            f"checkpoint conversion does not support encoder `{enc}` yet "
-            "(supported: Embedder, EncoderWithHighWayBN)")
-
-    params = variables["params"]
-    if dec in ("TransformerDecoder", "TwoStageTransformerDecoder"):
-        params = transplant_transformer_weights(view, params, t_opt)
-    elif dec == "SingleLayerRNNDecoder":
-        params = transplant_salstm_weights(view, params, t_opt)
+    if dec == "VOERNNDecoder":
+        assert enc == "VOE", (enc, dec)
+        variables = transplant_voe_weights(view, variables, opt)
+        params = variables["params"]
     else:
-        raise NotImplementedError(
-            f"checkpoint conversion does not support decoder `{dec}` yet "
-            "(supported: TransformerDecoder, TwoStageTransformerDecoder, "
-            "SingleLayerRNNDecoder)")
+        if enc == "EncoderWithHighWayBN":
+            variables = transplant_highwaybn_encoder(view, variables, opt)
+            t_opt["modality"] = ""          # encoder handled above
+        elif enc != "Embedder":
+            raise NotImplementedError(
+                f"checkpoint conversion does not support encoder `{enc}` "
+                "yet (supported: Embedder, EncoderWithHighWayBN, VOE)")
+
+        params = variables["params"]
+        if dec in ("TransformerDecoder", "TwoStageTransformerDecoder"):
+            params = transplant_transformer_weights(view, params, t_opt)
+        elif dec == "SingleLayerRNNDecoder":
+            params = transplant_salstm_weights(view, params, t_opt)
+        elif dec == "TopDownAttentionRNNDecoder":
+            params = transplant_topdown_weights(view, params, t_opt)
+        else:
+            raise NotImplementedError(
+                f"checkpoint conversion does not support decoder `{dec}` "
+                "yet (supported: TransformerDecoder, "
+                "TwoStageTransformerDecoder, SingleLayerRNNDecoder, "
+                "TopDownAttentionRNNDecoder, VOERNNDecoder)")
 
     if any(k.startswith("pointer.") for k in sd):
         params = transplant_pointer_weights(view, params)

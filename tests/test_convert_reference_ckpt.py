@@ -157,3 +157,84 @@ def test_convert_rejects_unmapped_params(tmp_path):
     report = convert(in_path, str(tmp_path / "out2.ckpt"),
                      allow_unmapped=True, verbose=False)
     assert report["unmapped"] == ["mystery_module.weight"]
+
+
+def _decode_parity_inputs(rs, B=3):
+    feats_np = [rs.randn(B, 8, 24).astype(np.float32),
+                rs.randn(B, 8, 16).astype(np.float32)]
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+    return feats_np, input_ids_np
+
+
+def _convert_and_compare(torch, tmp_path, ref_model, opt, feats_np,
+                         input_ids_np, atol=3e-4):
+    from convert_reference_ckpt import convert
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    from care_tpu.models.loading import load_model
+    models, _ = load_model(out_path, do_replace_paths=False, strict=True)
+    (model, variables), = models
+
+    with torch.no_grad():
+        ref_out = ref_model({
+            "feats": [torch.from_numpy(f) for f in feats_np],
+            "input_ids": torch.from_numpy(input_ids_np)})
+
+    import jax.numpy as jnp
+    out = model.apply(variables,
+                      {"feats": [jnp.asarray(f) for f in feats_np],
+                       "input_ids": jnp.asarray(
+                           input_ids_np.astype(np.int32))},
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy(),
+                               atol=atol, rtol=1e-4)
+
+
+def test_convert_topdown_checkpoint(tmp_path):
+    """TopDown: two LSTM cells + Sequential v2h/v2c + additive attention —
+    first torch-parity coverage for this decoder (the method-forward tests
+    only compare it to itself)."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"decoder": "TopDownAttentionRNNDecoder",
+                    "rnn_type": "lstm", "scheduled_sampling_start": -1})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(11)
+    feats_np, input_ids_np = _decode_parity_inputs(rs)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
+
+
+def test_convert_voe_checkpoint(tmp_path):
+    """VOE: chained per-modality torch nn.GRUs (r/z/n gates, dual biases)
+    -> flax GRUCell params (hidden-side r/z biases folded in), BN running
+    stats -> batch_stats, SALSTM decoder without v2h/v2c."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "VOE", "decoder": "VOERNNDecoder",
+                    "rnn_type": "lstm", "scheduled_sampling_start": -1})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+    ref_model.eval()
+
+    rs = np.random.RandomState(13)
+    feats_np, input_ids_np = _decode_parity_inputs(rs)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
