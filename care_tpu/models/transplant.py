@@ -88,15 +88,47 @@ def _set(tree, path, value):
     node[keys[-1]] = value
 
 
-def transplant_transformer_weights(state_dict, flax_params, opt):
-    """Map the reference TransformerSeq2Seq weights into our Captioner
-    params (Transformer/TwoStage methods; Embedder encoder; NaiveHead)."""
-    sd = _view(state_dict)
-    p = flax_params
+def _transplant_text_embedder(sd, p, opt):
+    """Reference ``Text_Embedder`` (``Encoder.py:341-376``, the 't' retrieved-
+    caption stream) -> our ``framework.py:TextEmbedder``.  Param-less when
+    both retrieval flags are off (it borrows the decoder's embeddings)."""
+    base_t = "encoder.Encoder_T"
+    base_o = "text_embedder"
+    if f"{base_t}.embs.word_embeddings.weight" in sd:
+        _set(p, f"{base_o}/embs/word_embeddings",
+             sd[f"{base_t}.embs.word_embeddings.weight"])
+        _set(p, f"{base_o}/embs/position_embeddings",
+             sd[f"{base_t}.embs.position_embeddings.weight"])
+        _set(p, f"{base_o}/embs/LayerNorm/scale",
+             sd[f"{base_t}.embs.LayerNorm.weight"])
+        _set(p, f"{base_o}/embs/LayerNorm/bias",
+             sd[f"{base_t}.embs.LayerNorm.bias"])
+    if f"{base_t}.rnn.weight_ih_l0" in sd:
+        # torch bidirectional nn.LSTM (gate order i,f,g,o; separate ih/hh
+        # biases) -> flax OptimizedLSTMCell (per-gate denses; input side
+        # bias-less, so bias_ih is folded into the hidden-side bias)
+        h = opt["dim_hidden"]
+        for cell, suf in [("rnn_fwd", ""), ("rnn_bwd", "_reverse")]:
+            w_ih = sd[f"{base_t}.rnn.weight_ih_l0{suf}"]
+            w_hh = sd[f"{base_t}.rnn.weight_hh_l0{suf}"]
+            b = (sd[f"{base_t}.rnn.bias_ih_l0{suf}"]
+                 + sd[f"{base_t}.rnn.bias_hh_l0{suf}"])
+            for j, gate in enumerate("ifgo"):
+                sl = slice(j * h, (j + 1) * h)
+                _set(p, f"{base_o}/{cell}/cell/i{gate}/kernel", w_ih[sl].T)
+                _set(p, f"{base_o}/{cell}/cell/h{gate}/kernel", w_hh[sl].T)
+                _set(p, f"{base_o}/{cell}/cell/h{gate}/bias", b[sl])
+        _set(p, f"{base_o}/LayerNorm/scale", sd[f"{base_t}.LayerNorm.weight"])
+        _set(p, f"{base_o}/LayerNorm/bias", sd[f"{base_t}.LayerNorm.bias"])
 
-    # encoder streams: encoder.Encoder_M.0.{weight,bias} (Linear),
-    # .1 LayerNorm
+
+def _transplant_encoder_streams(sd, p, opt):
+    """Per-modality dense streams: encoder.Encoder_M.0.{weight,bias}
+    (Linear), .1 LayerNorm; the 't' stream routes to the Text_Embedder."""
     for char in opt["modality"]:
+        if char == "t":
+            _transplant_text_embedder(sd, p, opt)
+            continue
         C = char.upper()
         _set(p, f"encoder/Encoder_{C}/linear/kernel",
              sd[f"encoder.Encoder_{C}.0.weight"].T)
@@ -106,6 +138,15 @@ def transplant_transformer_weights(state_dict, flax_params, opt):
              sd[f"encoder.Encoder_{C}.1.weight"])
         _set(p, f"encoder/Encoder_{C}/ln/bias",
              sd[f"encoder.Encoder_{C}.1.bias"])
+
+
+def transplant_transformer_weights(state_dict, flax_params, opt):
+    """Map the reference TransformerSeq2Seq weights into our Captioner
+    params (Transformer/TwoStage methods; Embedder encoder; NaiveHead)."""
+    sd = _view(state_dict)
+    p = flax_params
+
+    _transplant_encoder_streams(sd, p, opt)
 
     # decoder embeddings
     _set(p, "decoder/embedding/word_embeddings",
@@ -158,16 +199,7 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
     sd = _view(state_dict)
     p = flax_params
 
-    for char in opt["modality"]:
-        C = char.upper()
-        _set(p, f"encoder/Encoder_{C}/linear/kernel",
-             sd[f"encoder.Encoder_{C}.0.weight"].T)
-        _set(p, f"encoder/Encoder_{C}/linear/bias",
-             sd[f"encoder.Encoder_{C}.0.bias"])
-        _set(p, f"encoder/Encoder_{C}/ln/scale",
-             sd[f"encoder.Encoder_{C}.1.weight"])
-        _set(p, f"encoder/Encoder_{C}/ln/bias",
-             sd[f"encoder.Encoder_{C}.1.bias"])
+    _transplant_encoder_streams(sd, p, opt)
 
     d = "decoder"
     _set(p, f"{d}/word_embeddings", sd["decoder.embedding.weight"])
@@ -227,16 +259,7 @@ def transplant_topdown_weights(state_dict, flax_params, opt):
     assert not opt.get("rnn_use_mha"), \
         "TopDown MHA attention variant is not supported by the converter yet"
 
-    for char in opt["modality"]:
-        C = char.upper()
-        _set(p, f"encoder/Encoder_{C}/linear/kernel",
-             sd[f"encoder.Encoder_{C}.0.weight"].T)
-        _set(p, f"encoder/Encoder_{C}/linear/bias",
-             sd[f"encoder.Encoder_{C}.0.bias"])
-        _set(p, f"encoder/Encoder_{C}/ln/scale",
-             sd[f"encoder.Encoder_{C}.1.weight"])
-        _set(p, f"encoder/Encoder_{C}/ln/bias",
-             sd[f"encoder.Encoder_{C}.1.bias"])
+    _transplant_encoder_streams(sd, p, opt)
 
     d = "decoder"
     _set(p, f"{d}/word_embeddings", sd["decoder.embedding.weight"])

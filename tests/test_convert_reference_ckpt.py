@@ -238,3 +238,130 @@ def test_convert_voe_checkpoint(tmp_path):
     feats_np, input_ids_np = _decode_parity_inputs(rs)
     _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
                          feats_np, input_ids_np)
+
+
+def test_convert_salstm_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"decoder": "SingleLayerRNNDecoder", "rnn_type": "lstm",
+                    "scheduled_sampling_start": -1})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(17)
+    feats_np, input_ids_np = _decode_parity_inputs(rs)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
+
+
+def test_convert_pointer_checkpoint(tmp_path):
+    """PointerGen: the dispatcher must notice the ``pointer.*`` keys and
+    transplant the copy-gate attention; parity on the pointer ``probs``."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    ref_opt.update({
+        "modality": "mit", "pointer": "Pointer", "retrieval": True,
+        "retrieval_topk": 3, "copy_scale": 1.0, "exclude_eos": True,
+        "has_retrieval_embs": False, "has_retrieval_rnn": False})
+    torch.manual_seed(1)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+    assert any(k.startswith("pointer.") for k in report["consumed"])
+
+    from care_tpu.models.loading import load_model
+    models, _ = load_model(out_path, do_replace_paths=False, strict=True)
+    (model, variables), = models
+
+    rs = np.random.RandomState(23)
+    B, R, S = 3, 3, 7
+    dense = [rs.randn(B, ref_opt["n_frames"],
+                      ref_opt[f"dim_{c}"]).astype(np.float32)
+             for c in "mi"]
+    ret_lens = rs.randint(3, S + 1, (B, R))
+    ret_ids = np.where(np.arange(S)[None, None, :] < ret_lens[:, :, None],
+                       rs.randint(6, ref_opt["vocab_size"], (B, R, S)),
+                       0).astype(np.int64)
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model({
+            "feats": [torch.from_numpy(f) for f in dense]
+            + [torch.from_numpy(ret_ids)],
+            "input_ids": torch.from_numpy(input_ids_np)})
+
+    import jax.numpy as jnp
+    to_j = lambda f: jnp.asarray(
+        f.astype(np.int32) if f.dtype == np.int64 else f)
+    out = model.apply(variables,
+                      {"feats": [to_j(f) for f in dense + [ret_ids]],
+                       "input_ids": jnp.asarray(
+                           input_ids_np.astype(np.int32))},
+                      deterministic=True)
+    key = "probs" if "probs" in ref_out else "logits"
+    np.testing.assert_allclose(np.asarray(out[key]),
+                               ref_out[key].numpy(),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_convert_nacf_checkpoint(tmp_path):
+    """NACF: HighWayBN encoder + TwoStage decoder + length predictor —
+    the dispatcher must locate the Predictor_length net index in
+    ``predictor.nets`` and route the rest through the transformer/
+    highwaybn mappers."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+    from test_score_parity_rehearsal import _make_nar_env, _nar_ref_opt_from
+
+    opt, corpus, refs = _make_nar_env(tmp_path)
+    ref_opt = _nar_ref_opt_from(opt)
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+    assert any("Predictor_length" not in k and ".net." in k
+               for k in report["consumed"])
+
+    from care_tpu.models.loading import load_model
+    models, _ = load_model(out_path, do_replace_paths=False, strict=True)
+    (model, variables), = models
+
+    B = 3
+    rs = np.random.RandomState(29)
+    feats_np = [rs.randn(B, opt["n_frames"],
+                         opt[f"dim_{c}"]).astype(np.float32)
+                for c in opt["modality"]]
+    canvas = np.full((B, 11), 4, dtype=np.int64)
+    canvas[:, 8:] = 0
+
+    with torch.no_grad():
+        ref_out = ref_model({"feats": [torch.from_numpy(f)
+                                       for f in feats_np],
+                             "input_ids": torch.from_numpy(canvas)})
+
+    import jax.numpy as jnp
+    out = model.apply(variables,
+                      {"feats": [jnp.asarray(f) for f in feats_np],
+                       "input_ids": jnp.asarray(canvas.astype(np.int32))},
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref_out["logits"].numpy(),
+                               atol=3e-4, rtol=1e-4)
