@@ -138,13 +138,19 @@ def init_variables_template(model, opt):
     import jax.numpy as jnp
 
     rs = np.random.RandomState(0)
+    is_cnn = opt.get("encoder", "") in ("CNN1", "CNN2", "CNN3")
     feats = []
     for char in opt["modality"]:
-        if char == "t":
+        if char == "t" and not is_cnn:
             feats.append(jnp.asarray(rs.randint(
                 6, opt["vocab_size"],
                 (1, opt.get("retrieval_topk", 20), opt["max_len"])),
                 jnp.int32))
+        elif is_cnn:
+            # dense-patch encoders consume [B, n_frames, n_layers,
+            # n_patches] with n_patches == dim_t (Att_Encoder.py:49-62)
+            feats.append(jnp.asarray(
+                rs.randn(1, opt["n_frames"], 3, opt["dim_t"]), jnp.float32))
         else:
             feats.append(jnp.asarray(
                 rs.randn(1, opt["n_frames"], opt[f"dim_{char}"]), jnp.float32))

@@ -14,13 +14,16 @@ pin logit-level equality (2e-4) against the reference
 (``tests/test_reference_parity.py``), so a converted checkpoint decodes
 with reference-equal logits by construction.
 
-Covered: Embedder / EncoderWithHighWayBN encoders, Transformer + TwoStage
-(NACF) + SALSTM decoders, the CARE concept stack (MIL predictor +
+Covered: every CLI-reachable encoder family (Embedder, ReLUEmbedder,
+Identity, SingleStreamEmbedder, EncoderWithHighWayBN,
+MultiTransformerEncoder, TransformerEncoder, VOE, CNN1/2/3, retrieved-
+caption Text_Embedder), all five decoder families (Transformer, TwoStage/
+NACF, SALSTM, TopDown, VOE), the CARE concept stack (MIL predictor +
 SemanticContainer), PointerGen, and the NACF length predictor — i.e. every
 method preset shipped in the reference's experiment grid
-(``config/methods.yaml``). Other encoder variants raise with a clear
-message. Consumption of the torch state_dict is tracked so unmapped
-*parameters* are reported instead of silently dropped.
+(``config/methods.yaml``) and beyond. Consumption of the torch state_dict
+is tracked so unmapped *parameters* are reported instead of silently
+dropped.
 """
 
 import re
@@ -32,7 +35,8 @@ __all__ = [
     "transplant_transformer_weights", "transplant_salstm_weights",
     "transplant_topdown_weights", "transplant_voe_weights",
     "transplant_pointer_weights", "transplant_length_predictor",
-    "transplant_highwaybn_encoder", "transplant_reference_state_dict",
+    "transplant_highwaybn_encoder", "transplant_stream_encoder",
+    "transplant_cnn_patch_encoder", "transplant_reference_state_dict",
     "strip_wrapper_prefix",
 ]
 
@@ -140,6 +144,124 @@ def _transplant_encoder_streams(sd, p, opt):
              sd[f"encoder.Encoder_{C}.1.bias"])
 
 
+def _transplant_mha(sd, p, theirs: str, base: str):
+    """One MHA sublayer (reference ``Layers.py`` attention: SDPA q/k/v +
+    output dense + LayerNorm, optional learned hybrid bias)."""
+    for proj in ["query", "key", "value"]:
+        _set(p, f"{base}/{proj}/kernel", sd[f"{theirs}.SDPA.{proj}.weight"].T)
+        _set(p, f"{base}/{proj}/bias", sd[f"{theirs}.SDPA.{proj}.bias"])
+    _set(p, f"{base}/dense/kernel", sd[f"{theirs}.dense.weight"].T)
+    _set(p, f"{base}/dense/bias", sd[f"{theirs}.dense.bias"])
+    _set(p, f"{base}/LayerNorm/scale", sd[f"{theirs}.LayerNorm.weight"])
+    _set(p, f"{base}/LayerNorm/bias", sd[f"{theirs}.LayerNorm.bias"])
+    if f"{theirs}.SDPA.hybrid_bias" in sd:
+        _set(p, f"{base}/hybrid_bias", sd[f"{theirs}.SDPA.hybrid_bias"])
+
+
+def _transplant_ffn(sd, p, ffn_t: str, ffn_o: str):
+    _set(p, f"{ffn_o}/dense1/kernel", sd[f"{ffn_t}.dense1.weight"].T)
+    _set(p, f"{ffn_o}/dense1/bias", sd[f"{ffn_t}.dense1.bias"])
+    _set(p, f"{ffn_o}/dense2/kernel", sd[f"{ffn_t}.dense2.weight"].T)
+    _set(p, f"{ffn_o}/dense2/bias", sd[f"{ffn_t}.dense2.bias"])
+    _set(p, f"{ffn_o}/LayerNorm/scale", sd[f"{ffn_t}.LayerNorm.weight"])
+    _set(p, f"{ffn_o}/LayerNorm/bias", sd[f"{ffn_t}.LayerNorm.bias"])
+
+
+def _transplant_transformer_encoder_base(sd, p, torch_base: str,
+                                         flax_base: str, opt):
+    """Reference ``TransformerEncoderBase`` (``Encoder.py:244-298``: PE +
+    LN + N self-attention EncoderLayers) -> our ``encoders.py`` backbone.
+    The sinusoidal PE is a buffer (no params); only the trainable variant
+    maps a table."""
+    if f"{torch_base}.position_embeddings.weight" in sd:
+        _set(p, f"{flax_base}/position_embeddings/embedding",
+             sd[f"{torch_base}.position_embeddings.weight"])
+    _set(p, f"{flax_base}/LayerNorm/scale",
+         sd[f"{torch_base}.LayerNorm.weight"])
+    _set(p, f"{flax_base}/LayerNorm/bias",
+         sd[f"{torch_base}.LayerNorm.bias"])
+    for i in range(opt["num_hidden_layers_encoder"]):
+        _transplant_mha(sd, p, f"{torch_base}.layers.{i}.intra_attention",
+                        f"{flax_base}/layer_{i}/intra_attention")
+        _transplant_ffn(sd, p, f"{torch_base}.layers.{i}.ffn",
+                        f"{flax_base}/layer_{i}/ffn")
+
+
+def transplant_cnn_patch_encoder(state_dict, flax_variables,
+                                 torch_base: str = "encoder",
+                                 flax_base: str = "encoder"):
+    """Reference ``Att_Encoder.py:6-99`` (CNN1/2/3 dense-patch 3D-conv
+    encoders) -> our ``CNNPatchEncoder`` params + batch_stats.  torch
+    Conv3d kernels are (out, in, kd, kh, kw); flax NDHWC wants
+    (kd, kh, kw, in, out)."""
+    sd = _view(state_dict)
+    p = flax_variables["params"]
+    bs = flax_variables["batch_stats"]
+    pre_t = f"{torch_base}." if torch_base else ""
+    pre_o = f"{flax_base}/" if flax_base else ""
+    for i in range(3):
+        w = sd[f"{pre_t}block{i + 1}.0.weight"]
+        _set(p, f"{pre_o}Conv_{i}/kernel", np.transpose(w, (2, 3, 4, 1, 0)))
+        _set(p, f"{pre_o}Conv_{i}/bias", sd[f"{pre_t}block{i + 1}.0.bias"])
+        _set(p, f"{pre_o}BatchNorm_{i}/scale", sd[f"{pre_t}block{i + 1}.1.weight"])
+        _set(p, f"{pre_o}BatchNorm_{i}/bias", sd[f"{pre_t}block{i + 1}.1.bias"])
+        _set(bs, f"{pre_o}BatchNorm_{i}/mean",
+             sd[f"{pre_t}block{i + 1}.1.running_mean"])
+        _set(bs, f"{pre_o}BatchNorm_{i}/var",
+             sd[f"{pre_t}block{i + 1}.1.running_var"])
+    _set(p, f"{pre_o}net/kernel", sd[f"{pre_t}net.weight"].T)
+    _set(p, f"{pre_o}net/bias", sd[f"{pre_t}net.bias"])
+    _set(p, f"{pre_o}LN/scale", sd[f"{pre_t}LN.weight"])
+    _set(p, f"{pre_o}LN/bias", sd[f"{pre_t}LN.bias"])
+    return flax_variables
+
+
+def transplant_stream_encoder(state_dict, flax_variables, opt):
+    """Map the remaining CLI-reachable encoder families
+    (``Encoder.py:159-207`` + ``Att_Encoder.py``) that are not handled by
+    the per-method mappers: ReLUEmbedder, Identity, SingleStreamEmbedder,
+    MultiTransformerEncoder, TransformerEncoder, CNN1/2/3."""
+    sd = _view(state_dict)
+    p = flax_variables["params"]
+    enc = opt["encoder"]
+    if enc in ("CNN1", "CNN2", "CNN3"):
+        return transplant_cnn_patch_encoder(sd, flax_variables)
+    if enc == "SingleStreamEmbedder":
+        # SingleStream names its module `encoder` (-> encoder.encoder.*)
+        _set(p, "encoder/encoder/linear/kernel",
+             sd["encoder.encoder.0.weight"].T)
+        _set(p, "encoder/encoder/linear/bias", sd["encoder.encoder.0.bias"])
+        _set(p, "encoder/encoder/ln/scale", sd["encoder.encoder.1.weight"])
+        _set(p, "encoder/encoder/ln/bias", sd["encoder.encoder.1.bias"])
+        return flax_variables
+    for char in opt["modality"]:
+        if char == "t":
+            _transplant_text_embedder(sd, p, opt)
+            continue
+        C = char.upper()
+        base_t, base_o = f"encoder.Encoder_{C}", f"encoder/Encoder_{C}"
+        if enc == "Identity":
+            continue                       # nn.Identity: no params
+        if enc == "ReLUEmbedder":          # Sequential(Linear, ReLU, Drop)
+            _set(p, f"{base_o}/linear/kernel", sd[f"{base_t}.0.weight"].T)
+            _set(p, f"{base_o}/linear/bias", sd[f"{base_t}.0.bias"])
+        elif enc == "MultiTransformerEncoder":
+            # Sequential(Linear, TransformerEncoderBase) per stream
+            _set(p, f"{base_o}/linear/kernel", sd[f"{base_t}.0.weight"].T)
+            _set(p, f"{base_o}/linear/bias", sd[f"{base_t}.0.bias"])
+            _transplant_transformer_encoder_base(
+                sd, p, f"{base_t}.1", f"{base_o}/backbone", opt)
+        elif enc == "TransformerEncoder":  # bare Linear per stream
+            _set(p, f"{base_o}/linear/kernel", sd[f"{base_t}.weight"].T)
+            _set(p, f"{base_o}/linear/bias", sd[f"{base_t}.bias"])
+        else:
+            raise NotImplementedError(enc)
+    if enc == "TransformerEncoder":        # shared post-fusion backbone
+        _transplant_transformer_encoder_base(
+            sd, p, "encoder.backbone", "encoder/backbone", opt)
+    return flax_variables
+
+
 def transplant_transformer_weights(state_dict, flax_params, opt):
     """Map the reference TransformerSeq2Seq weights into our Captioner
     params (Transformer/TwoStage methods; Embedder encoder; NaiveHead)."""
@@ -164,28 +286,9 @@ def transplant_transformer_weights(state_dict, flax_params, opt):
         for ours, theirs in [
                 ("intra_attention", f"decoder.layers.{i}.intra_attention"),
                 ("inter_attention", f"decoder.layers.{i}.inter_attention")]:
-            base = f"decoder/layer_{i}/{ours}"
-            for proj in ["query", "key", "value"]:
-                _set(p, f"{base}/{proj}/kernel",
-                     sd[f"{theirs}.SDPA.{proj}.weight"].T)
-                _set(p, f"{base}/{proj}/bias",
-                     sd[f"{theirs}.SDPA.{proj}.bias"])
-            _set(p, f"{base}/dense/kernel", sd[f"{theirs}.dense.weight"].T)
-            _set(p, f"{base}/dense/bias", sd[f"{theirs}.dense.bias"])
-            _set(p, f"{base}/LayerNorm/scale",
-                 sd[f"{theirs}.LayerNorm.weight"])
-            _set(p, f"{base}/LayerNorm/bias", sd[f"{theirs}.LayerNorm.bias"])
-            if f"{theirs}.SDPA.hybrid_bias" in sd:
-                _set(p, f"{base}/hybrid_bias",
-                     sd[f"{theirs}.SDPA.hybrid_bias"])
-        ffn_t = f"decoder.layers.{i}.ffn"
-        ffn_o = f"decoder/layer_{i}/ffn"
-        _set(p, f"{ffn_o}/dense1/kernel", sd[f"{ffn_t}.dense1.weight"].T)
-        _set(p, f"{ffn_o}/dense1/bias", sd[f"{ffn_t}.dense1.bias"])
-        _set(p, f"{ffn_o}/dense2/kernel", sd[f"{ffn_t}.dense2.weight"].T)
-        _set(p, f"{ffn_o}/dense2/bias", sd[f"{ffn_t}.dense2.bias"])
-        _set(p, f"{ffn_o}/LayerNorm/scale", sd[f"{ffn_t}.LayerNorm.weight"])
-        _set(p, f"{ffn_o}/LayerNorm/bias", sd[f"{ffn_t}.LayerNorm.bias"])
+            _transplant_mha(sd, p, theirs, f"decoder/layer_{i}/{ours}")
+        _transplant_ffn(sd, p, f"decoder.layers.{i}.ffn",
+                        f"decoder/layer_{i}/ffn")
 
     # head
     _set(p, "cls_head/tgt_word_prj/kernel",
@@ -464,10 +567,17 @@ def transplant_reference_state_dict(state_dict, variables, opt,
         if enc == "EncoderWithHighWayBN":
             variables = transplant_highwaybn_encoder(view, variables, opt)
             t_opt["modality"] = ""          # encoder handled above
+        elif enc in ("ReLUEmbedder", "Identity", "SingleStreamEmbedder",
+                     "MultiTransformerEncoder", "TransformerEncoder",
+                     "CNN1", "CNN2", "CNN3"):
+            variables = transplant_stream_encoder(view, variables, opt)
+            t_opt["modality"] = ""          # encoder handled above
         elif enc != "Embedder":
             raise NotImplementedError(
                 f"checkpoint conversion does not support encoder `{enc}` "
-                "yet (supported: Embedder, EncoderWithHighWayBN, VOE)")
+                "yet (supported: Embedder, EncoderWithHighWayBN, VOE, "
+                "ReLUEmbedder, Identity, SingleStreamEmbedder, "
+                "MultiTransformerEncoder, TransformerEncoder, CNN1/2/3)")
 
         params = variables["params"]
         if dec in ("TransformerDecoder", "TwoStageTransformerDecoder"):

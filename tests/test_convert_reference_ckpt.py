@@ -365,3 +365,144 @@ def test_convert_nacf_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                ref_out["logits"].numpy(),
                                atol=3e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("encoder,modality", [
+    ("ReLUEmbedder", "mi"),
+    ("SingleStreamEmbedder", "mi"),
+    ("MultiTransformerEncoder", "mi"),
+])
+def test_convert_stream_encoder_variants(tmp_path, encoder, modality):
+    """Remaining CLI-reachable encoder families (``Encoder.py:159-207``)
+    convert with logit parity — first torch-parity coverage for the
+    transformer-encoder variants (incl. trainable encoder PE)."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": encoder, "modality": modality,
+                    "num_hidden_layers_encoder": 2})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(31)
+    B = 3
+    feats_np = [rs.randn(B, 8, ref_opt[f"dim_{c}"]).astype(np.float32)
+                for c in modality]
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
+
+
+def test_convert_identity_encoder(tmp_path):
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "Identity", "modality": "m", "dim_m": 64})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(37)
+    B = 3
+    feats_np = [rs.randn(B, 8, 64).astype(np.float32)]
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
+
+
+def test_convert_cnn_patch_checkpoint(tmp_path):
+    """CNN1 conversion: Conv3d kernels transposed to NDHWC and BN running
+    stats into batch_stats.  The reference cannot run these encoders in
+    its full framework (CNNBase returns a tensor where ``encoding_phase``
+    asserts a dict, ``Framework.py:166-168``) so parity is checked on the
+    encoder module with the converted-and-reloaded variables."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "CNN1", "modality": "m", "dim_t": 16})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+    ref_model.eval()
+
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    from care_tpu.models.loading import load_model
+    models, loaded_opt = load_model(out_path, do_replace_paths=False,
+                                    strict=True)
+    (_, variables), = models
+
+    rs = np.random.RandomState(41)
+    x = rs.randn(2, 8, 3, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model.encoder(torch.from_numpy(x)).numpy()
+
+    import jax.numpy as jnp
+    from care_tpu.models.encoders import get_encoder
+    enc = get_encoder(loaded_opt)
+    enc_vars = {"params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"]}
+    out = enc.apply(enc_vars, [jnp.asarray(x)])
+    np.testing.assert_allclose(
+        np.asarray(out["encoder_hidden_states"]), ref_out,
+        atol=2e-5, rtol=2e-5)
+
+
+def test_convert_transformer_encoder_checkpoint(tmp_path):
+    """TransformerEncoder (per-stream Linear + shared post-fusion
+    backbone): the reference class cannot run its own forward —
+    ``MultipleStreams.forward`` passes the data *dict* into the overridden
+    tensor-typed ``post_processing`` (``Encoder.py:122`` vs ``196-207``) —
+    so parity is checked module-by-module on the converted variables
+    (stream linear, then backbone with trainable encoder PE)."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"encoder": "TransformerEncoder", "modality": "m",
+                    "num_hidden_layers_encoder": 2})
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    from care_tpu.models.loading import load_model
+    models, loaded_opt = load_model(out_path, do_replace_paths=False,
+                                    strict=True)
+    (_, variables), = models
+
+    rs = np.random.RandomState(43)
+    x = rs.randn(2, 8, 24).astype(np.float32)
+    with torch.no_grad():
+        h = ref_model.encoder.Encoder_M(torch.from_numpy(x))
+        ref_out = ref_model.encoder.backbone(h).numpy()
+
+    import jax.numpy as jnp
+    from care_tpu.models.encoders import get_encoder
+    enc = get_encoder(loaded_opt)
+    out = enc.apply({"params": variables["params"]["encoder"]},
+                    [jnp.asarray(x)], deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["encoder_hidden_states"]), ref_out,
+        atol=3e-4, rtol=1e-4)
