@@ -318,13 +318,7 @@ def transplant_salstm_weights(state_dict, flax_params, opt):
         _set(p, f"{d}/v2h/bias", sd["decoder.v2h.bias"])
         _set(p, f"{d}/v2c/kernel", sd["decoder.v2c.weight"].T)
         _set(p, f"{d}/v2c/bias", sd["decoder.v2c.bias"])
-    # additive attention
-    _set(p, f"{d}/att/linear1_h/kernel", sd["decoder.att.linear1_h.weight"].T)
-    _set(p, f"{d}/att/linear1_h/bias", sd["decoder.att.linear1_h.bias"])
-    _set(p, f"{d}/att/linear1_f_0/kernel",
-         sd["decoder.att.linear1_f.0.weight"].T)
-    _set(p, f"{d}/att/linear1_f_0/bias", sd["decoder.att.linear1_f.0.bias"])
-    _set(p, f"{d}/att/linear2/kernel", sd["decoder.att.linear2.weight"].T)
+    _transplant_rnn_attention(sd, p, "decoder.att", f"{d}/att")
     _set(p, "cls_head/tgt_word_prj/kernel",
          sd["cls_head.tgt_word_prj.weight"].T)
     return p
@@ -341,16 +335,37 @@ def _transplant_lstm_cell(sd, p, torch_base: str, flax_base: str):
 
 
 def _transplant_additive_attention(sd, p, torch_base: str, flax_base: str):
-    """Reference ``AdditiveAttention`` (``components/Attention.py:134-161``)
-    -> our params; single feats stream (temporal_concat fusion)."""
+    """Reference ``AdditiveAttention`` (``components/Attention.py:134-206``)
+    -> our params; one ``linear1_f`` per (unshared) feats stream."""
     _set(p, f"{flax_base}/linear1_h/kernel", sd[f"{torch_base}.linear1_h.weight"].T)
     _set(p, f"{flax_base}/linear1_h/bias", sd[f"{torch_base}.linear1_h.bias"])
-    _set(p, f"{flax_base}/linear1_f_0/kernel",
-         sd[f"{torch_base}.linear1_f.0.weight"].T)
-    _set(p, f"{flax_base}/linear1_f_0/bias", sd[f"{torch_base}.linear1_f.0.bias"])
+    i = 0
+    while f"{torch_base}.linear1_f.{i}.weight" in sd:
+        _set(p, f"{flax_base}/linear1_f_{i}/kernel",
+             sd[f"{torch_base}.linear1_f.{i}.weight"].T)
+        _set(p, f"{flax_base}/linear1_f_{i}/bias",
+             sd[f"{torch_base}.linear1_f.{i}.bias"])
+        i += 1
+    assert i > 0, f"no {torch_base}.linear1_f.* in the checkpoint"
     _set(p, f"{flax_base}/linear2/kernel", sd[f"{torch_base}.linear2.weight"].T)
     if f"{torch_base}.hybrid_bias" in sd:
         _set(p, f"{flax_base}/hybrid_bias", sd[f"{torch_base}.hybrid_bias"])
+
+
+def _transplant_rnn_attention(sd, p, torch_base: str, flax_base: str):
+    """The RNN decoders' visual-attention module is one of three classes
+    picked by opt (``RNN_single_layer.py:255-270``): MultiHeadAttention
+    (``rnn_use_mha``), MultiLevelAttention (``with_multileval_attention``,
+    two nested additives), or plain AdditiveAttention — dispatch on the
+    checkpoint keys."""
+    if f"{torch_base}.SDPA.query.weight" in sd:
+        _transplant_mha(sd, p, torch_base, flax_base)
+    elif f"{torch_base}.temporal_aware_attention.linear1_h.weight" in sd:
+        for sub in ["temporal_aware_attention", "modality_aware_attention"]:
+            _transplant_additive_attention(sd, p, f"{torch_base}.{sub}",
+                                           f"{flax_base}/{sub}")
+    else:
+        _transplant_additive_attention(sd, p, torch_base, flax_base)
 
 
 def transplant_topdown_weights(state_dict, flax_params, opt):
@@ -359,8 +374,6 @@ def transplant_topdown_weights(state_dict, flax_params, opt):
     additive attention) into our ``models/decoders.py`` params."""
     sd = _view(state_dict)
     p = flax_params
-    assert not opt.get("rnn_use_mha"), \
-        "TopDown MHA attention variant is not supported by the converter yet"
 
     _transplant_encoder_streams(sd, p, opt)
 
@@ -374,7 +387,7 @@ def transplant_topdown_weights(state_dict, flax_params, opt):
     for lin in ["v2h", "v2c"]:
         _set(p, f"{d}/{lin}/kernel", sd[f"decoder.{lin}.0.weight"].T)
         _set(p, f"{d}/{lin}/bias", sd[f"decoder.{lin}.0.bias"])
-    _transplant_additive_attention(sd, p, "decoder.att", f"{d}/att")
+    _transplant_rnn_attention(sd, p, "decoder.att", f"{d}/att")
     if "decoder.semantic_att.linear1_h.weight" in sd:
         _transplant_additive_attention(sd, p, "decoder.semantic_att",
                                        f"{d}/semantic_att")

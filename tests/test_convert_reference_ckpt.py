@@ -506,3 +506,51 @@ def test_convert_transformer_encoder_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["encoder_hidden_states"]), ref_out,
         atol=3e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("decoder", ["SingleLayerRNNDecoder",
+                                     "TopDownAttentionRNNDecoder"])
+def test_convert_rnn_mha_attention_checkpoint(tmp_path, decoder):
+    """``rnn_use_mha``: the RNN decoders swap their additive attention for
+    a MultiHeadAttention sublayer (``RNN_single_layer.py:255-266``) — the
+    converter dispatches on the ``SDPA.*`` keys."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"decoder": decoder, "rnn_type": "lstm",
+                    "rnn_use_mha": True, "scheduled_sampling_start": -1})
+    torch.manual_seed(3)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(47)
+    feats_np, input_ids_np = _decode_parity_inputs(rs)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
+
+
+def test_convert_rnn_multistream_additive_checkpoint(tmp_path):
+    """fusion 'none' + two streams: the additive attention keeps one
+    ``linear1_f`` per modality (``Attention.py:140-160``) — the converter
+    maps every index.  (The reference's MultiLevelAttention variant is
+    unconstructable dead code: ``RNN_single_layer.py:271`` always passes
+    ``add_hybrid_attention_bias``, which its ``__init__`` rejects.)"""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+
+    ref_opt = _ref_opt()
+    ref_opt.update({"decoder": "SingleLayerRNNDecoder", "rnn_type": "lstm",
+                    "fusion": "none", "dim_i": 24,
+                    "scheduled_sampling_start": -1})
+    torch.manual_seed(5)
+    ref_model = get_framework(dict(ref_opt))
+    ref_model.eval()
+
+    rs = np.random.RandomState(53)
+    B = 3
+    feats_np = [rs.randn(B, 8, 24).astype(np.float32),
+                rs.randn(B, 8, 24).astype(np.float32)]
+    input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
+    _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
+                         feats_np, input_ids_np)
