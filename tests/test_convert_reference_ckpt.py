@@ -554,3 +554,59 @@ def test_convert_rnn_multistream_additive_checkpoint(tmp_path):
     input_ids_np = rs.randint(6, 40, (B, 11)).astype(np.int64)
     _convert_and_compare(torch, tmp_path, ref_model, _our_opt(ref_opt),
                          feats_np, input_ids_np)
+
+
+def test_convert_from_teacher(tmp_path):
+    """``--from-teacher``: an InterplayModel (mean-teacher) checkpoint
+    carries both ``captioner.*`` and ``teacher_captioner.*``; the flag
+    must convert the TEACHER copy (reference ``Wrapper.py`` EMA teacher).
+    Teacher weights are built from a different seed so logit parity can
+    only pass if the right module was selected."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+
+    ref_opt = _ref_opt()
+    torch.manual_seed(0)
+    student = get_framework(dict(ref_opt))
+    torch.manual_seed(99)
+    teacher = get_framework(dict(ref_opt))
+    student.eval(), teacher.eval()
+
+    sd = {f"captioner.{k}": v for k, v in student.state_dict().items()}
+    sd.update({f"teacher_captioner.{k}": v
+               for k, v in teacher.state_dict().items()})
+    opt = _our_opt(ref_opt)
+    in_path = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": sd, "hyper_parameters": {"opt": opt}},
+               in_path)
+
+    out_path = str(tmp_path / "teacher.ckpt")
+    report = convert(in_path, out_path, from_teacher=True, verbose=False)
+    assert report["unmapped"] == []
+
+    from care_tpu.models.loading import load_model
+    models, _ = load_model(out_path, do_replace_paths=False, strict=True)
+    (model, variables), = models
+
+    rs = np.random.RandomState(59)
+    feats_np, input_ids_np = _decode_parity_inputs(rs)
+    with torch.no_grad():
+        ref_out = teacher({
+            "feats": [torch.from_numpy(f) for f in feats_np],
+            "input_ids": torch.from_numpy(input_ids_np)})
+        stu_out = student({
+            "feats": [torch.from_numpy(f) for f in feats_np],
+            "input_ids": torch.from_numpy(input_ids_np)})
+
+    import jax.numpy as jnp
+    out = model.apply(variables,
+                      {"feats": [jnp.asarray(f) for f in feats_np],
+                       "input_ids": jnp.asarray(
+                           input_ids_np.astype(np.int32))},
+                      deterministic=True)
+    ours = np.asarray(out["logits"])
+    np.testing.assert_allclose(ours, ref_out["logits"].numpy(),
+                               atol=3e-4, rtol=1e-4)
+    # and it must NOT match the student
+    assert np.abs(ours - stu_out["logits"].numpy()).max() > 1e-2
