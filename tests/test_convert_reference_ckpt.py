@@ -610,3 +610,68 @@ def test_convert_from_teacher(tmp_path):
                                atol=3e-4, rtol=1e-4)
     # and it must NOT match the student
     assert np.abs(ours - stu_out["logits"].numpy()).max() > 1e-2
+
+
+@pytest.mark.slow
+def test_convert_then_finetune(tmp_path):
+    """The full switch-over story: a reference user's checkpoint not only
+    serves, it SEEDS CONTINUED TRAINING — converted weights flow through
+    ``--load_model_weights_from`` (train.py:104-113, mirroring reference
+    ``train.py:34-36``) into our Trainer, and a short fit on correlated
+    synthetic data lifts CIDEr from the transplanted starting point."""
+    torch = pytest.importorskip("torch")
+    get_framework = import_reference()
+    from convert_reference_ckpt import convert
+    from care_tpu.config import get_opt
+    from care_tpu.data import get_loader
+    from care_tpu.data.corpus import write_synthetic_dataset
+    from care_tpu.training.trainer import Trainer
+
+    opt = get_opt({
+        "dataset": "MSRVTT", "method": "Transformer", "task": "Base",
+        "feats": "ViT", "modality": "mi", "max_len": 12, "n_frames": 8,
+        "batch_size": 16, "beam_size": 3, "epochs": 6,
+        "learning_rate": 1e-3,
+        "num_hidden_layers_decoder": 1,
+        "final_overrides": {"dim_hidden": 128, "intermediate_size": 256,
+                            "num_attention_heads": 4,
+                            "hidden_dropout_prob": 0.1,
+                            "encoder_dropout_prob": 0.1,
+                            "attention_probs_dropout_prob": 0.0},
+    }, read_vocab=False, resolve_paths=False)
+    opt["dim_m"] = opt["dim_i"] = 24
+
+    root, paths, corpus, refs = write_synthetic_dataset(
+        str(tmp_path), opt, n_videos=60, correlated=True)
+    opt["info_corpus"] = os.path.join(root, "info_corpus.pkl")
+    opt["reference"] = os.path.join(root, "refs.pkl")
+    for c, p in paths.items():
+        opt[f"feats_{c}"] = [p]
+    opt["vocab_size"] = len(corpus["info"]["itow"])
+    opt["checkpoint_path"] = os.path.join(str(tmp_path), "exps")
+
+    # a reference-side "trained" checkpoint with this exact architecture
+    torch.manual_seed(0)
+    ref_model = get_framework(dict(opt))
+    in_path = str(tmp_path / "ref.ckpt")
+    out_path = str(tmp_path / "converted.ckpt")
+    _fake_lightning_ckpt(torch, ref_model, opt, in_path)
+    report = convert(in_path, out_path, verbose=False)
+    assert report["unmapped"] == []
+
+    train_loader = get_loader(opt, "train")
+    val_loader = get_loader(opt, "validate", is_validation=True,
+                            not_shuffle=True)
+    trainer = Trainer(opt, train_loader=train_loader,
+                      val_loader=val_loader, references=refs,
+                      vocab=corpus["info"]["itow"])
+    trainer.init_model(next(iter(train_loader)))
+
+    from care_tpu.models.loading import load_teacher_weights_into_student
+    trainer.variables = load_teacher_weights_into_student(
+        trainer.variables, out_path, None, verbose=False)
+
+    before = trainer.validate(0)
+    trainer.fit(epochs=opt["epochs"])
+    after = trainer.validate(opt["epochs"])
+    assert after["CIDEr"] > before["CIDEr"] + 0.2, (before, after)
