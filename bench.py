@@ -98,7 +98,9 @@ def _analytic_decode_bytes(variables, opt, batch_size, beam,
     """Analytic per-call HBM traffic of the decode program, split by
     source.  Roofline accounting (VERDICT r3 weak #1): per beam step the
     program re-reads the decoder+head weights from HBM, reads the cross-
-    attention K/V (enlarged to batch*beam rows) and the growing self-attn
+    attention K/V (kept at BATCH rows — beams of one instance share them,
+    the beam is folded into the query rows; see
+    ``MultiHeadAttention.attend``) and the growing per-beam self-attn
     KV cache, and writes+re-reads the [rows, V] logits through the
     iterative-argmax top-k (k passes over beam*V per instance).  Encoder
     weights are read once."""
@@ -113,7 +115,7 @@ def _analytic_decode_bytes(variables, opt, batch_size, beam,
 
     w_step = (_kernel_param_bytes(variables, "decoder", dtype_bytes)
               + _kernel_param_bytes(variables, "cls_head", dtype_bytes))
-    cross_kv_step = rows * l_cross * d * 2 * dtype_bytes * n_layers
+    cross_kv_step = batch_size * l_cross * d * 2 * dtype_bytes * n_layers
     self_kv_step = rows * (steps / 2) * d * 2 * dtype_bytes * n_layers
     logits_step = rows * V * dtype_bytes            # write
     # iterative-argmax top-k: k passes, each streaming beam*V per instance

@@ -193,17 +193,20 @@ class TranslatorARFormer(Translator):
                 model_feats = feats[idx] if per_model else feats
                 enc = model.apply(variables, model_feats,
                                   method=Captioner.encoding_phase)
-                inputs = model.apply(
+                inputs_raw = model.apply(
                     variables, enc, batch_aux,
                     method=Captioner.prepare_inputs_for_decoder)
-                inputs = auto_enlarge(inputs, beam_size)
+                inputs = auto_enlarge(inputs_raw, beam_size)
                 all_inputs.append(inputs)
                 if is_rnn:
                     carry = model.apply(
                         variables, inputs, method=Captioner.init_rnn_carry)
                 else:
+                    # cache init from UN-enlarged inputs: cross/attr K/V
+                    # stay [B] (beams share them — attend folds the beam
+                    # into the query rows); only self KV is [B*beam]
                     carry = model.apply(
-                        variables, inputs, max_len,
+                        variables, inputs_raw, max_len, beam_size,
                         method=Captioner.init_decode_state)
                 carries.append(carry)
 

@@ -242,13 +242,21 @@ class TransformerDecoder(nn.Module):
                           encoder_hidden_states, semantic_embs=None,
                           semantic_hidden_states=None, preds_attr=None,
                           category=None, category_embs=None,
-                          dtype=jnp.float32) -> Dict[str, Any]:
+                          dtype=jnp.float32, beam_size: int = 1) -> Dict[str, Any]:
         """Build the decode cache: cross-attn K/V per layer + empty self KV.
 
         The G-LSG concept prefix (``prefix``/``pp_emb`` modes) is prefilled
         into the self-attention cache; word positions then attend over
         [prefix ; generated words], reproducing the prefix mask semantics
         (prefix rows never become queries during stepping).
+
+        ``beam_size`` > 1: the encoder-side inputs arrive UN-enlarged
+        ([B, ...]); only the per-row state (self KV cache, aux consumed by
+        the per-token embedding/projections) is expanded to ``batch_size``
+        (= B*beam) rows. Cross-attention and attr K/V stay at [B] — beams
+        of one instance attend over identical keys, so ``attend`` folds the
+        beam into the query rows instead of duplicating K/V in HBM (the
+        decode roofline's dominant traffic term).
         """
         opt = self.opt
         if isinstance(encoder_hidden_states, (list, tuple)):
@@ -257,6 +265,9 @@ class TransformerDecoder(nn.Module):
         dh = opt["dim_hidden"] // h
         prefix_len = self._prefix_len()
         cache_len = max_len + prefix_len
+        rep = (lambda x: None if x is None
+               else jnp.repeat(x, beam_size, axis=0)) if beam_size > 1 \
+            else (lambda x: x)
 
         layers_state = []
         for layer in self.layers:
@@ -269,10 +280,11 @@ class TransformerDecoder(nn.Module):
                                  "self_k": self_k, "self_v": self_v})
 
         state = {"layers": layers_state,
-                 "aux": {"category": category, "category_embs": category_embs,
-                         "semantic_hidden_states": semantic_hidden_states,
+                 "aux": {"category": rep(category),
+                         "category_embs": rep(category_embs),
+                         "semantic_hidden_states": rep(semantic_hidden_states),
                          "semantic_embs": semantic_embs,
-                         "preds_attr": preds_attr}}
+                         "preds_attr": rep(preds_attr)}}
 
         if prefix_len:
             t = opt.get("use_attr_type") or ""
@@ -288,10 +300,14 @@ class TransformerDecoder(nn.Module):
             diag = jnp.where(jnp.eye(prefix_len, dtype=bool), 0.0, NEG_INF)
             diag = diag[None, None].astype(jnp.float32)
             for li, layer in enumerate(self.layers):
+                # prefill runs at [B]; the per-beam cache rows of one
+                # instance get identical prefix K/V (rep is instance-major)
                 k, v = layer.prefill_self_kv(x, preds_attr=preds_attr)
                 st = layers_state[li]
-                st["self_k"] = st["self_k"].at[:, :, :prefix_len, :].set(k)
-                st["self_v"] = st["self_v"].at[:, :, :prefix_len, :].set(v)
+                st["self_k"] = st["self_k"].at[:, :, :prefix_len, :].set(
+                    rep(k).astype(st["self_k"].dtype))
+                st["self_v"] = st["self_v"].at[:, :, :prefix_len, :].set(
+                    rep(v).astype(st["self_v"].dtype))
                 # advance prefix hidden states through the layer so deeper
                 # layers cache the correct representations
                 x, _, _, _ = layer(

@@ -268,12 +268,15 @@ class Captioner(nn.Module):
     # KV-cached incremental decoding entry points (transformer decoders)
     # ------------------------------------------------------------------
     def init_decode_state(self, inputs_for_decoder: Dict[str, Any],
-                          max_len: int) -> Dict[str, Any]:
+                          max_len: int, beam_size: int = 1) -> Dict[str, Any]:
+        """``beam_size`` > 1 expects UN-enlarged inputs: the self-KV cache
+        is laid out at B*beam rows while cross/attr K/V stay at B (beams
+        share them; see ``TransformerDecoder.init_decode_state``)."""
         enc = inputs_for_decoder["encoder_hidden_states"]
         enc0 = enc[0] if isinstance(enc, (list, tuple)) else enc
-        bsz = enc0.shape[0]
+        bsz = enc0.shape[0] * beam_size
         return self.decoder.init_decode_state(
-            batch_size=bsz, max_len=max_len,
+            batch_size=bsz, max_len=max_len, beam_size=beam_size,
             # cache dtype follows the activations so half-precision decode
             # (compute_dtype_decode) gets a bf16 KV cache, not an f32 one
             # that dynamic_update_slice would reject

@@ -179,7 +179,26 @@ class MultiHeadAttention(nn.Module):
     def attend(self, q, k, v, bias, input_tensor, deterministic=True,
                use_sigmoid=False, return_probs=True, preds_attr=None,
                early_return=False):
-        """Core attention given pre-projected q/k/v (head form)."""
+        """Core attention given pre-projected q/k/v (head form).
+
+        Beam-grouped cross attention: when the query batch is a multiple of
+        the K/V batch (q ``[B*beam, H, 1, Dh]`` vs k/v ``[B, H, Lk, Dh]``,
+        rows instance-major as ``auto_enlarge`` lays them out), the beam is
+        folded into the query-length axis so the K/V rows stream from HBM
+        once per *instance* per step instead of once per *beam row* — the
+        dominant decode-traffic term (cross-K/V re-reads) shrinks by the
+        beam factor, and the per-step QK^T matmul gets beam-times fatter
+        rows. The bias must be batch-broadcastable (decode cross biases are
+        ``[1, H, 1, Lk]``: hybrid bias / RPE rows, identical across beams).
+        """
+        bq, nh, lq, dh = q.shape
+        bk = k.shape[0]
+        grouped = bk != bq
+        if grouped:
+            assert lq == 1 and bq % bk == 0, (q.shape, k.shape)
+            assert bias is None or bias.shape[0] in (1, bk), bias.shape
+            group = bq // bk
+            q = q.reshape(bk, group, nh, dh).transpose(0, 2, 1, 3)
         context_h, probs = dot_product_attention(
             q, k, v, bias=bias,
             use_sigmoid=use_sigmoid,
@@ -191,6 +210,12 @@ class MultiHeadAttention(nn.Module):
             deterministic=deterministic,
             use_flash=self.use_flash,
         )
+        if grouped:
+            # [bk, H, group, Dh] -> [B*beam, H, 1, Dh]
+            context_h = context_h.transpose(0, 2, 1, 3).reshape(bq, nh, 1, dh)
+            if probs is not None:
+                probs = probs.transpose(0, 2, 1, 3).reshape(
+                    bq, nh, 1, probs.shape[-1])
         merged = merge_heads(context_h)
         if self.compositional:
             context = self.dense(merged, preds_attr)

@@ -117,3 +117,48 @@ def test_rpe_kv_logits_match_full_forward():
     full = per_step_logits_full(model, variables, inputs, seq)
     kv = per_step_logits_kv(model, variables, inputs, seq, opt["max_len"])
     np.testing.assert_allclose(kv, full, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_attr_type,extra", [
+    ("emb_concat", {}),
+    ("pp_emb_concat", {}),
+    # hybrid bias + prefix is invalid (bias length excludes the prefix),
+    # same as MODES above
+    ("_prefix", {"add_hybrid_attention_bias": False}),
+])
+def test_beam_grouped_cache_matches_enlarged(use_attr_type, extra):
+    """Beam-shared cross-K/V layout (init_decode_state(beam_size=k) on
+    UN-enlarged inputs, cross/attr K/V at [B]) must produce the same
+    per-step logits as the naive layout (auto_enlarge then beam_size=1,
+    every K/V duplicated to [B*beam])."""
+    from care_tpu.decoding.translator import auto_enlarge
+
+    opt = tiny_opt(
+        task="CARE", decoder_modality_flags="V", predictor_modality_flags="V",
+        vocab_size=50, num_hidden_layers_decoder=2, beam_size=1, topk=1,
+        attribute_prediction_k=16, use_attr_topk=4,
+        final_overrides={"use_attr_type": use_attr_type, **extra},
+    )
+    B, beam = 3, 4
+    model, variables, batch = tiny_model_and_batch(opt, batch_size=B, seed=13)
+    enc = model.apply(variables, batch["feats"],
+                      method=Captioner.encoding_phase)
+    inputs = model.apply(variables, enc, {},
+                         method=Captioner.prepare_inputs_for_decoder)
+    enlarged = auto_enlarge(inputs, beam)
+
+    state_naive = model.apply(variables, enlarged, opt["max_len"],
+                              method=Captioner.init_decode_state)
+    state_grouped = model.apply(variables, inputs, opt["max_len"], beam,
+                                method=Captioner.init_decode_state)
+
+    seq = _roll_tokens(opt, B * beam, seed=17)
+    for t in range(4):
+        ln, state_naive, _ = model.apply(
+            variables, seq[:, t], jnp.asarray(t), state_naive, enlarged,
+            method=Captioner.decode_step)
+        lg, state_grouped, _ = model.apply(
+            variables, seq[:, t], jnp.asarray(t), state_grouped, enlarged,
+            method=Captioner.decode_step)
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(ln),
+                                   atol=2e-5, err_msg=f"{use_attr_type} t={t}")
