@@ -122,9 +122,12 @@ def test_rpe_kv_logits_match_full_forward():
 @pytest.mark.parametrize("use_attr_type,extra", [
     ("emb_concat", {}),
     ("pp_emb_concat", {}),
-    # hybrid bias + prefix is invalid (bias length excludes the prefix),
-    # same as MODES above
+    # hybrid bias + prefix/att is invalid (bias length excludes the
+    # prefix / attr rows), same as MODES above
     ("_prefix", {"add_hybrid_attention_bias": False}),
+    # attr cross-attention: attr K/V stays [B], grouped attend folds beam
+    ("_att", {"add_hybrid_attention_bias": False}),
+    ("emb_att", {"add_hybrid_attention_bias": False}),
 ])
 def test_beam_grouped_cache_matches_enlarged(use_attr_type, extra):
     """Beam-shared cross-K/V layout (init_decode_state(beam_size=k) on
