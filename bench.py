@@ -118,8 +118,10 @@ def _analytic_decode_bytes(variables, opt, batch_size, beam,
     cross_kv_step = batch_size * l_cross * d * 2 * dtype_bytes * n_layers
     self_kv_step = rows * (steps / 2) * d * 2 * dtype_bytes * n_layers
     logits_step = rows * V * dtype_bytes            # write
-    # iterative-argmax top-k: k passes, each streaming beam*V per instance
-    topk_step = k_beam * batch_size * (k_beam * V) * dtype_bytes
+    # chunked iterative top-k (ops/topk.py:_chunked_iterative_top_k): ONE
+    # pass over beam*V per instance builds the chunk-maxima cache; the k
+    # per-pick re-scans touch one chunk each (negligible)
+    topk_step = batch_size * (k_beam * V) * dtype_bytes
     per_step = (w_step + cross_kv_step + self_kv_step
                 + logits_step + topk_step)
     enc = (_kernel_param_bytes(variables, "encoder", dtype_bytes)

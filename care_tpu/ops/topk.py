@@ -61,6 +61,56 @@ def _iterative_top_k(x, k: int, assume_finite: bool = False):
             jnp.concatenate(idxs, axis=-1))
 
 
+def _chunked_iterative_top_k(x, k: int, chunk_size: int = 512):
+    """Single-wide-pass exact top-k (requires finite inputs).
+
+    The plain iterative argmax streams the full [*, V] row ~2 passes per
+    pick (argmax + mask): at V=55k, k=5 that is the beam loop's dominant
+    HBM term after the logits write.  This variant reads the wide array
+    ONCE to build a per-chunk (max, argmax) cache [*, C], then each pick
+    works on small arrays only: argmax over the C chunk maxima, gather of
+    the winning chunk's ``chunk_size`` entries, re-max of that chunk with
+    all previous picks that landed in it masked (<= k tiny masks).
+
+    Exact ``lax.top_k`` semantics: first-occurrence argmax everywhere
+    means ties resolve lowest-global-index-first (chunk maxima keep their
+    chunk's lowest tied index; the cross-chunk argmax picks the lowest
+    chunk), and picked entries are masked so indices stay distinct.
+    Finite inputs only: a picked entry is masked to -inf inside its
+    chunk, which must never tie an original value."""
+    *lead, V = x.shape
+    C = -(-V // chunk_size)
+    pad = C * chunk_size - V
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)],
+                    constant_values=-jnp.finfo(x.dtype).max)
+    xc = x.reshape(*lead, C, chunk_size)
+    cmax = jnp.max(xc, axis=-1)                     # [*, C]
+    carg = jnp.argmax(xc, axis=-1)                  # [*, C]
+    ar_c = jnp.arange(chunk_size)
+    ar_C = jnp.arange(C)
+    vals, idxs, picks = [], [], []
+    for _ in range(k):
+        c = jnp.argmax(cmax, axis=-1)[..., None]    # [*, 1]
+        v = jnp.take_along_axis(cmax, c, axis=-1)   # [*, 1]
+        w = jnp.take_along_axis(carg, c, axis=-1)   # [*, 1]
+        vals.append(v)
+        idxs.append(c * chunk_size + w)
+        picks.append((c, w))
+        # next-best of the winning chunk: re-scan its chunk_size entries
+        # with every pick that fell in this chunk masked out
+        row = jnp.take_along_axis(xc, c[..., None], axis=-2)  # [*, 1, ch]
+        row = jnp.squeeze(row, axis=-2)                       # [*, ch]
+        for pc, pw in picks:
+            row = jnp.where((pc == c) & (ar_c == pw), NEG, row)
+        cmax = jnp.where(ar_C == c, jnp.max(row, axis=-1, keepdims=True),
+                         cmax)
+        carg = jnp.where(ar_C == c, jnp.argmax(row, axis=-1, keepdims=True),
+                         carg)
+    return (jnp.concatenate(vals, axis=-1),
+            jnp.concatenate(idxs, axis=-1))
+
+
 def hierarchical_top_k(x, k: int, chunk_size: int = 1024,
                        assume_finite: bool = False):
     """x: [..., V] -> (values [..., k], indices [..., k]); exact.
@@ -70,6 +120,8 @@ def hierarchical_top_k(x, k: int, chunk_size: int = 1024,
     if V <= max(chunk_size, 4 * k):
         return jax.lax.top_k(x, k)
     if k <= _ITERATIVE_MAX_K:
+        if assume_finite:
+            return _chunked_iterative_top_k(x, k)
         return _iterative_top_k(x, k, assume_finite=assume_finite)
 
     C = -(-V // chunk_size)

@@ -76,6 +76,40 @@ def test_iterative_rows_with_fewer_than_k_finite_entries():
     assert len(set(np.asarray(ih)[0].tolist())) == 5  # distinct
 
 
+def test_chunked_iterative_exact_randomized_and_ties():
+    """The single-wide-pass chunk-maxima path (the assume_finite beam
+    dispatch): exact lax.top_k values, indices, and tie order across
+    random shapes/chunk sizes and adversarial tie layouts."""
+    from care_tpu.ops.topk import _chunked_iterative_top_k
+    rs = np.random.RandomState(0)
+    leads = [(), (3,), (2, 4)]
+    for trial in range(20):
+        V = rs.randint(2000, 60000)
+        k = rs.randint(1, 9)
+        lead = leads[rs.randint(3)]
+        # quantized values -> heavy exact ties
+        x = np.round(rs.randn(*(lead + (V,))) * 2).astype(np.float32)
+        cs = int([128, 256, 512, 1000][rs.randint(4)])
+        vw, iw = jax.lax.top_k(jnp.asarray(x), k)
+        vc, ic = _chunked_iterative_top_k(jnp.asarray(x), k, chunk_size=cs)
+        np.testing.assert_array_equal(np.asarray(vw), np.asarray(vc),
+                                      err_msg=f"{trial} {V} {k} {cs}")
+        np.testing.assert_array_equal(np.asarray(iw), np.asarray(ic),
+                                      err_msg=f"{trial} {V} {k} {cs}")
+    # all-equal rows: every pick is a global tie
+    x = jnp.zeros((4, 7000), jnp.float32)
+    _, iw = jax.lax.top_k(x, 5)
+    _, ic = _chunked_iterative_top_k(x, 5, chunk_size=512)
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ic))
+    # duplicates inside one chunk AND straddling a chunk boundary
+    x = np.full((2, 4096), -1.0, np.float32)
+    x[:, 510:515] = 7.0
+    x[:, 1024] = 7.0
+    _, iw = jax.lax.top_k(jnp.asarray(x), 6)
+    _, ic = _chunked_iterative_top_k(jnp.asarray(x), 6, chunk_size=512)
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ic))
+
+
 def test_assume_finite_matches_exact_on_finite_inputs():
     from care_tpu.ops.topk import _iterative_top_k
     rs = np.random.RandomState(3)
