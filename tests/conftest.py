@@ -12,9 +12,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
-# Under the axon tunnel JAX_PLATFORMS=cpu may not demote the default
-# backend; pin default device to CPU explicitly so tests never touch the
-# (slow-to-compile) TPU.
+# The environment forces JAX_PLATFORMS=axon (sitecustomize registers the
+# tunnel PJRT plugin at interpreter start, before this file runs), so the
+# setdefault above does not take and even `jax.devices("cpu")` would
+# initialize the axon backend first — which HANGS indefinitely when the
+# tunnel is down (round-4/5 post-mortem).  Restrict the platform list to
+# cpu before any backend init: tests are CPU-only by design, and this
+# also stops pytest from registering a TPU session that a concurrent
+# bench run would queue behind (CLAUDE.md gotcha).
+from jax._src import xla_bridge as _xb  # noqa: E402
+if not _xb._backends:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    jax.config.update("jax_platforms", "cpu")
+# Pin default device to CPU explicitly so tests never touch the
+# (slow-to-compile) TPU even if a backend was already live.
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:
