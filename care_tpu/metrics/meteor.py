@@ -15,13 +15,18 @@ paths here:
   corpus-level aggregation (one score from summed sufficient statistics,
   NOT the mean of segment scores).
 
-Known deviations of the fallback from the jar (documented in PARITY.md):
-the synonym stage needs local WordNet data (skipped otherwise), the
-paraphrase-table stage is absent (its data ships inside the jar), the
-function-word list is a curated approximation of the jar's
-``function.words``, and the aligner resolves ties by preferring
-chunk-continuing matches instead of the jar's full beam search.  CIDEr
-(the model-selection metric) is exact either way.
+The aligner reproduces the jar's joint beam-search resolution (all
+modules' candidates resolved together: maximise matched words, then
+minimise chunks, then minimise summed position distance, width-40 beam —
+Aligner.java semantics), with a native C++ fast path
+(``care_tpu/native/eval_core.cc:meteor_align``) kept in lockstep.
+
+Known deviations of the fallback from the jar (documented in PARITY.md),
+now data-only: the synonym stage needs local WordNet data (skipped
+otherwise) and the paraphrase-table stage is absent (its data ships
+inside the jar; the curated ``FUNCTION_WORDS`` stands in for the jar's
+``function.words``).  CIDEr (the model-selection metric) is exact either
+way.
 """
 
 import os
@@ -112,39 +117,67 @@ def _align_native(hyp: List[str], ref: List[str]):
         return None
 
 
+# beam width of the jar's Aligner partial-alignment search
+_BEAM = 40
+
+
+def _candidate_matches(hyp: List[str], ref: List[str]):
+    """cands[i] = [(ref_idx, module)] with per-pair module priority in the
+    jar's module order: exact (0) before stem (1) before synonym (2)."""
+    ref_stems = ([_STEMMER.stem(w) for w in ref]
+                 if _STEMMER is not None else None)
+    wn = _get_wordnet() is not None
+    ref_syns = [_synonyms(w) for w in ref] if wn else None
+    cands = []
+    for i, hw in enumerate(hyp):
+        hw_stem = _STEMMER.stem(hw) if _STEMMER is not None else None
+        hw_syns = _synonyms(hw) if wn else None
+        row = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                row.append((j, 0))
+            elif hw_stem is not None and hw_stem == ref_stems[j]:
+                row.append((j, 1))
+            elif wn and (hw in ref_syns[j] or rw in hw_syns):
+                row.append((j, 2))
+        cands.append(row)
+    return cands
+
+
+def _resolve_beam(cands, n_hyp: int):
+    """The jar Aligner's joint resolution: choose a one-to-one alignment
+    maximising matched words, then minimising chunks, then minimising
+    summed |hyp_idx - ref_idx|; partial alignments expand hypothesis-word
+    by hypothesis-word under a width-``_BEAM`` beam.
+
+    Partial state: (matches, chunks, dist, last_h, last_r, used_ref_mask,
+    match_tuple)."""
+    beams = [(0, 0, 0, -2, -2, 0, ())]
+    for i in range(n_hyp):
+        nxt = list(beams)  # each partial may leave word i unmatched
+        for m, ch, d, lh, lr, used, ml in beams:
+            for j, module in cands[i]:
+                if used >> j & 1:
+                    continue
+                nxt.append((
+                    m + 1,
+                    ch + (0 if (lh == i - 1 and lr == j - 1) else 1),
+                    d + abs(i - j), i, j, used | (1 << j),
+                    ml + ((i, j, module),)))
+        nxt.sort(key=lambda p: (-p[0], p[1], p[2]))
+        beams = nxt[:_BEAM]
+    return list(beams[0][6])
+
+
 def _align(hyp: List[str], ref: List[str]):
-    """Stage-wise one-to-one alignment; returns [(hyp_idx, ref_idx, stage)].
-    Ties prefer the ref position continuing the previous chunk (cheap
-    stand-in for the jar's chunk-minimising beam search)."""
+    """METEOR-1.5 jar alignment; returns [(hyp_idx, ref_idx, module)].
+    All modules' candidate matches are resolved JOINTLY by the Aligner
+    beam search (max matches -> min chunks -> min distance), matching the
+    jar — not stage-sequentially."""
     native_matches = _align_native(hyp, ref)
     if native_matches is not None:
         return native_matches
-    matches = []
-    used_h, used_r = set(), set()
-
-    def stage(stage_id, match_fn):
-        prev_r = {}
-        for i, hw in enumerate(hyp):
-            if i in used_h:
-                continue
-            candidates = [j for j, rw in enumerate(ref)
-                          if j not in used_r and match_fn(hw, rw)]
-            if not candidates:
-                continue
-            want = prev_r.get(i - 1)
-            j = want if (want is not None and want in candidates) \
-                else candidates[0]
-            matches.append((i, j, stage_id))
-            used_h.add(i)
-            used_r.add(j)
-            prev_r[i] = j + 1
-
-    stage(0, lambda a, b: a == b)
-    if _STEMMER is not None:
-        stage(1, lambda a, b: _STEMMER.stem(a) == _STEMMER.stem(b))
-    if _get_wordnet() is not None:
-        stage(2, lambda a, b: a in _synonyms(b) or b in _synonyms(a))
-    return matches
+    return _resolve_beam(_candidate_matches(hyp, ref), len(hyp))
 
 
 def _chunks(matches):

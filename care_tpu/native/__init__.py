@@ -65,9 +65,11 @@ def lcs_len(a, b):
 
 
 def meteor_align(hyp_exact, hyp_stem, ref_exact, ref_stem):
-    """Native staged alignment; returns [(h, r, stage)] or None.
-    Semantics match ``care_tpu/metrics/meteor.py:_align`` (exact + stem
-    stages, chunk-continuing tie preference)."""
+    """Native METEOR-1.5 beam-search alignment; returns [(h, r, module)]
+    or None. Semantics match ``care_tpu/metrics/meteor.py:_align`` (joint
+    beam resolution: max matches, then min chunks, then min distance;
+    exact + stem modules). Returns None for refs > 64 tokens (bitmask
+    width) — callers fall back to the python aligner."""
     import numpy as np
     lib = _load()
     if lib is None:
@@ -81,5 +83,7 @@ def meteor_align(hyp_exact, hyp_stem, ref_exact, ref_stem):
     m = lib.meteor_align(
         phe, phs, n_hyp, pre, prs, n_ref,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if m < 0:
+        return None
     return [(int(out[3 * k]), int(out[3 * k + 1]), int(out[3 * k + 2]))
             for k in range(m)]

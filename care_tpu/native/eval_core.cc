@@ -45,52 +45,80 @@ void lcs_len_multi(const int32_t* hyp, int32_t n_hyp,
   }
 }
 
-// Stage-wise METEOR-1.5-style alignment over two id views of the same
-// token sequences (stage 0 = exact ids, stage 1 = stem ids); semantics
-// identical to the python `_align` in care_tpu/metrics/meteor.py: one-to-one
-// matches per stage in hyp order, ties preferring the ref position that
-// continues the previous chunk. Writes (hyp_idx, ref_idx, stage) triples
-// into match_out (size >= 3*n_hyp) and returns the number of matches.
+// METEOR-1.5 jar-style alignment over two id views of the same token
+// sequences (module 0 = exact ids, module 1 = stem ids; per-pair module
+// priority follows the jar's module order, exact before stem).  Joint
+// beam-search resolution exactly like the jar's Aligner: among candidate
+// one-to-one alignments prefer (1) more matched words, (2) fewer chunks,
+// (3) smaller summed |hyp_idx - ref_idx| distance; partial alignments are
+// expanded hypothesis-word by hypothesis-word under a width-40 beam.
+// Semantics identical to the python `_align` in care_tpu/metrics/meteor.py.
+// Writes (hyp_idx, ref_idx, module) triples into match_out (size >=
+// 3*n_hyp) and returns the number of matches; returns -1 when n_ref > 64
+// (used-reference bitmask width) so the caller falls back to python.
+namespace {
+struct Partial {
+  int32_t matches = 0, chunks = 0, dist = 0;
+  int32_t last_h = -2, last_r = -2;
+  uint64_t used = 0;
+  std::vector<std::array<int32_t, 3>> ml;
+  bool better_than(const Partial& o) const {
+    if (matches != o.matches) return matches > o.matches;
+    if (chunks != o.chunks) return chunks < o.chunks;
+    return dist < o.dist;
+  }
+};
+constexpr int kBeam = 40;
+}  // namespace
+
 int32_t meteor_align(const int32_t* hyp_exact, const int32_t* hyp_stem,
                      int32_t n_hyp,
                      const int32_t* ref_exact, const int32_t* ref_stem,
                      int32_t n_ref,
                      int32_t* match_out) {
-  std::vector<char> used_h(n_hyp, 0), used_r(n_ref, 0);
-  std::vector<std::array<int32_t, 3>> matches;
-  matches.reserve(n_hyp);
-
-  const int32_t* hv[2] = {hyp_exact, hyp_stem};
-  const int32_t* rv[2] = {ref_exact, ref_stem};
-  for (int32_t stage = 0; stage < 2; ++stage) {
-    const int32_t* h = hv[stage];
-    const int32_t* r = rv[stage];
-    if (h == nullptr || r == nullptr) continue;
-    std::vector<int32_t> prev_r(n_hyp + 1, -1);  // prev_r[i+1] set on match
-    for (int32_t i = 0; i < n_hyp; ++i) {
-      if (used_h[i]) continue;
-      int32_t chosen = -1, first = -1;
-      const int32_t want = (i > 0) ? prev_r[i] : -1;
+  if (n_ref > 64) return -1;
+  std::vector<Partial> beams(1);
+  std::vector<Partial> next;
+  for (int32_t i = 0; i < n_hyp; ++i) {
+    next.clear();
+    for (const Partial& p : beams) {
+      next.push_back(p);  // hypothesis word i left unmatched
       for (int32_t j = 0; j < n_ref; ++j) {
-        if (used_r[j] || h[i] != r[j]) continue;
-        if (first < 0) first = j;
-        if (j == want) { chosen = j; break; }
+        if (p.used >> j & 1) continue;
+        int32_t module;
+        if (hyp_exact[i] == ref_exact[j]) {
+          module = 0;
+        } else if (hyp_stem != nullptr && ref_stem != nullptr &&
+                   hyp_stem[i] == ref_stem[j]) {
+          module = 1;
+        } else {
+          continue;
+        }
+        Partial q = p;
+        q.matches += 1;
+        q.chunks += (p.last_h == i - 1 && p.last_r == j - 1) ? 0 : 1;
+        q.dist += (i > j) ? (i - j) : (j - i);
+        q.last_h = i;
+        q.last_r = j;
+        q.used |= (uint64_t{1} << j);
+        q.ml.push_back({i, j, module});
+        next.push_back(std::move(q));
       }
-      if (first < 0) continue;
-      if (chosen < 0) chosen = first;
-      matches.push_back({i, chosen, stage});
-      used_h[i] = 1;
-      used_r[chosen] = 1;
-      prev_r[i + 1] = chosen + 1;
     }
+    std::sort(next.begin(), next.end(),
+              [](const Partial& a, const Partial& b) {
+                return a.better_than(b);
+              });
+    if (static_cast<int>(next.size()) > kBeam) next.resize(kBeam);
+    std::swap(beams, next);
   }
-
-  for (size_t k = 0; k < matches.size(); ++k) {
-    match_out[3 * k] = matches[k][0];
-    match_out[3 * k + 1] = matches[k][1];
-    match_out[3 * k + 2] = matches[k][2];
+  const Partial& best = beams.front();
+  for (size_t k = 0; k < best.ml.size(); ++k) {
+    match_out[3 * k] = best.ml[k][0];
+    match_out[3 * k + 1] = best.ml[k][1];
+    match_out[3 * k + 2] = best.ml[k][2];
   }
-  return static_cast<int32_t>(matches.size());
+  return static_cast<int32_t>(best.ml.size());
 }
 
 }  // extern "C"
