@@ -99,45 +99,86 @@ class Translator:
     def translate_batches_grouped(self, models, tagged_batches,
                                   fused_k: int, **kwargs):
         """Decode an iterable of ``(tag, device_batch)`` pairs in groups of
-        ``fused_k`` same-shape batches, each group as ONE device program
-        (``translate_batches_fused``); ragged tails fall back to per-batch
-        decode.  Yields ``(tag, (hyps, scores))`` in input order —
-        identical results to per-batch ``translate_batch``."""
-        group = []
+        ``fused_k`` batches, each group as ONE device program
+        (``translate_batches_fused``).
 
-        def shape_of(b):
+        Raggedness never leaves the fused program (round-5 upgrade):
+
+        * a batch with FEWER ROWS than the group's first batch (the short
+          dataset tail) is row-padded to the group's row count by
+          repeating its first row; padded rows decode as dead weight and
+          are sliced off before hypothesis collection, so hypotheses are
+          token-identical to a per-batch decode of the short batch
+          (scores agree to f32 reduction-order noise, ~1e-7: the rows run
+          through the group-shape program instead of a short-shape one);
+        * only a genuinely different signature (trailing feat dims, aux
+          key set/trailing dims, or MORE rows) starts a new group — each
+          distinct signature is a fresh multi-minute tunnel compile;
+        * a partial group (fewer than ``fused_k`` batches) is padded to
+          ``fused_k`` by repeating the last batch, extras discarded.
+
+        Yields ``(tag, (hyps, scores))`` in input order — identical
+        results to per-batch ``translate_batch``."""
+        group = []  # [(tag, row-padded batch, n_real_rows)]
+
+        def sig_of(b):
             def rec(f):
                 return (tuple(rec(x) for x in f)
-                        if isinstance(f, (list, tuple)) else f.shape)
-            # aux inputs (category etc.) are stacked alongside feats in the
-            # fused program: batches whose aux key set or shapes differ
-            # must start a new group, not fail at jnp.stack
+                        if isinstance(f, (list, tuple)) else f.shape[1:])
             aux = self._batch_inputs(b)
             return (rec(b["feats"]),
-                    tuple(sorted((k, v.shape) for k, v in aux.items())))
+                    tuple(sorted((k, v.shape[1:]) for k, v in aux.items())))
+
+        def rows_of(b):
+            f = b["feats"]
+            while isinstance(f, (list, tuple)):
+                f = f[0]
+            return int(f.shape[0])
+
+        def pad_rows(b, rows):
+            n = rows_of(b)
+            if n == rows:
+                return b
+
+            def pad(x):
+                return jnp.concatenate(
+                    [jnp.asarray(x),
+                     jnp.repeat(jnp.asarray(x)[:1], rows - n, axis=0)],
+                    axis=0)
+            out = {"feats": jax.tree.map(pad, b["feats"])}
+            for k, v in self._batch_inputs(b).items():
+                out[k] = pad(v)
+            return out
 
         def flush():
-            # partial groups are PADDED to fused_k by repeating the last
-            # batch (extras discarded): one fused program per shape is the
-            # only compile surface — a per-batch fallback program would
-            # cost a multi-minute tunnel compile to serve a few leftovers
             if not group:
                 return
             n = len(group)
-            batches = [b for _, b in group]
+            batches = [b for _, b, _ in group]
+            n_rows = [r for _, _, r in group]
             if n < fused_k:
                 print(f"- fused decode: ragged group of {n} padded to "
                       f"{fused_k} ({fused_k - n} wasted batch decodes)")
             batches += [batches[-1]] * (fused_k - n)
-            outs = self.translate_batches_fused(models, batches, **kwargs)
-            for (tag, _), out in zip(group, outs[:n]):
+            outs = self.translate_batches_fused(models, batches,
+                                                n_rows=n_rows + [None] *
+                                                (fused_k - n), **kwargs)
+            for (tag, _, _), out in zip(group, outs[:n]):
                 yield tag, out
             group.clear()
 
+        group_sig, group_rows = None, None
         for tag, b in tagged_batches:
-            if group and shape_of(group[0][1]) != shape_of(b):
+            sig, rows = sig_of(b), rows_of(b)
+            if group and not (sig == group_sig and rows <= group_rows):
                 yield from flush()
-            group.append((tag, b))
+            if not group:
+                group_sig, group_rows = sig, rows
+            if rows < group_rows:
+                print(f"- fused decode: short batch of {rows} rows "
+                      f"row-padded to {group_rows} (outputs sliced)")
+                b = pad_rows(b, group_rows)
+            group.append((tag, b, rows))
             if len(group) == fused_k:
                 yield from flush()
         yield from flush()
@@ -331,14 +372,21 @@ class TranslatorARFormer(Translator):
         return fn(all_variables, stacked_feats, stacked_aux)
 
     def translate_batches_fused(self, models, batches: List[Dict[str, Any]],
+                                n_rows: Optional[List[Optional[int]]] = None,
                                 **kwargs):
         """Decode K same-shape batches in one program; returns a list of
         per-batch (hyps, scores) — identical to per-batch translate_batch,
-        with the per-call dispatch floor paid once.  Extra kwargs (teacher
-        etc.) are ignored like in ``translate_batch``."""
+        with the per-call dispatch floor paid once.  ``n_rows[k]`` (when
+        given) slices batch k's outputs to its first ``n_rows[k]``
+        instances BEFORE hypothesis collection, so row-padded ragged
+        batches collect exactly like the unpadded batch would (the
+        reference's n_best coupling in ``collect`` must never see pad
+        rows).  Extra kwargs (teacher etc.) are ignored like in
+        ``translate_batch``."""
         out = self.dispatch_fused(models, batches)
         arrays = [np.asarray(o) for o in out]
-        return [self.collect(tuple(a[k] for a in arrays))
+        rows = n_rows or [None] * len(batches)
+        return [self.collect(tuple(a[k][:rows[k]] for a in arrays))
                 for k in range(len(batches))]
 
     def collect(self, out):
@@ -583,8 +631,10 @@ class TranslatorNARFormer(Translator):
                   teacher_vars if teacher_vars is not None else {})
 
     def translate_batches_fused(self, models, batches, teacher=None,
-                                vocab_mapping=None):
+                                vocab_mapping=None, n_rows=None):
         hyp, lp = self.dispatch_fused(models, batches, teacher=teacher,
                                       vocab_mapping=vocab_mapping)
         hyp, lp = np.asarray(hyp), np.asarray(lp)
-        return [self.collect((hyp[k], lp[k])) for k in range(len(batches))]
+        rows = n_rows or [None] * len(batches)
+        return [self.collect((hyp[k][:rows[k]], lp[k][:rows[k]]))
+                for k in range(len(batches))]

@@ -164,6 +164,77 @@ def test_grouped_decode_splits_on_aux_mismatch():
     assert [out for _, out in grouped] == seq
 
 
+def _assert_decode_equal(got, want, tol=1e-5):
+    """Token-identical hypotheses; scores to ``tol`` (a batch decoded
+    through the GROUP-shape program vs its own-shape program can differ in
+    f32 reduction order at ~1e-7, which never flips beam picks)."""
+    assert len(got) == len(want)
+    for (g_h, g_s), (w_h, w_s) in zip(got, want):
+        assert g_h == w_h
+        assert len(g_s) == len(w_s)
+        for a, b in zip(g_s, w_s):
+            np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+
+def test_grouped_decode_ragged_tail_row_padded():
+    """A short last batch (the dataset tail) must be row-padded into the
+    SAME fused program — token-identical results to per-batch decode, no
+    new compile surface for the short shape (round-5, VERDICT r4 #5)."""
+    opt = tiny_opt(vocab_size=40, beam_size=3, topk=2)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=3)
+    tr = get_translator(opt)
+    models = [(model, variables)]
+
+    stream = _batches(opt, 4) + _batches(opt, 1, batch_size=2)  # short tail
+    seq = [tr.translate_batch(models, b) for b in stream]
+    n_compiles = len(tr._jit_cache)
+
+    tagged = ((i, b) for i, b in enumerate(stream))
+    grouped = list(tr.translate_batches_grouped(models, tagged, fused_k=2))
+    assert [tag for tag, _ in grouped] == [0, 1, 2, 3, 4]
+    _assert_decode_equal([out for _, out in grouped], seq)
+    # one fused program serves the full batches AND the padded tail
+    assert len(tr._jit_cache) == n_compiles + 1
+
+
+def test_grouped_decode_ragged_tail_row_padded_nar():
+    """NAR grouped path: same row-padding contract."""
+    opt = tiny_opt(method="NAB", vocab_size=40)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=3)
+    tr = get_translator(opt)
+    models = [(model, variables)]
+
+    stream = _batches(opt, 2) + _batches(opt, 1, batch_size=1)
+    seq = [tr.translate_batch(models, b) for b in stream]
+    tagged = ((i, b) for i, b in enumerate(stream))
+    grouped = list(tr.translate_batches_grouped(models, tagged, fused_k=2))
+    got = [out for _, out in grouped]
+    assert len(got) == len(seq)
+    for (g_h, g_s), (w_h, w_s) in zip(got, seq):
+        assert g_h == w_h
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(w_s),
+                                   atol=1e-5, rtol=0)
+
+
+def test_grouped_decode_mixed_rows_interleaved():
+    """Short batches INSIDE the stream (not just the tail) stay in the
+    group; a LARGER batch starts a new group."""
+    opt = tiny_opt(vocab_size=40, beam_size=3)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=3)
+    tr = get_translator(opt)
+    models = [(model, variables)]
+
+    b3 = _batches(opt, 2, batch_size=3)
+    b2 = _batches(opt, 2, batch_size=2)
+    b4 = _batches(opt, 1, batch_size=4)
+    stream = [b3[0], b2[0], b3[1], b2[1], b4[0]]
+    seq = [tr.translate_batch(models, b) for b in stream]
+    tagged = ((i, b) for i, b in enumerate(stream))
+    grouped = list(tr.translate_batches_grouped(models, tagged, fused_k=2))
+    assert [tag for tag, _ in grouped] == [0, 1, 2, 3, 4]
+    _assert_decode_equal([out for _, out in grouped], seq)
+
+
 def test_nar_vocab_mapping_not_cached_across_mappings():
     """Two dispatches with DIFFERENT vocab mappings must compile two
     programs (the mapping is baked into the closure); identity mapping
