@@ -85,19 +85,24 @@ class VideoOnlyDataset:
                 self.opt["n_frames"], self.random_type, self.rng)
             _dict["frame_ids"] = frame_ids
 
-        _dict["feats"] = []
-        for item in self.databases:
-            modality = item[0]
-            if modality == "r":
-                feats = self.load_r_feats(item, vid)
-            elif modality == "t":
-                feats = self.load_t_feats(item, vid)
-            else:
-                load_all = (self.opt.get("feats") == "SwinBERTDense"
-                            and modality == "m")
-                feats = self._load_feats(item[1:], vid, frame_ids=frame_ids,
-                                         load_all=load_all)
-            _dict["feats"].append(feats)
+        # with a device feature bank active (data/feature_bank.py) the
+        # trainer assembles feats on device from (video_ids, frame_ids);
+        # skip the host-side HDF5 reads entirely
+        if not getattr(self, "skip_feats", False):
+            _dict["feats"] = []
+            for item in self.databases:
+                modality = item[0]
+                if modality == "r":
+                    feats = self.load_r_feats(item, vid)
+                elif modality == "t":
+                    feats = self.load_t_feats(item, vid)
+                else:
+                    load_all = (self.opt.get("feats") == "SwinBERTDense"
+                                and modality == "m")
+                    feats = self._load_feats(item[1:], vid,
+                                             frame_ids=frame_ids,
+                                             load_all=load_all)
+                _dict["feats"].append(feats)
 
         if self.itoc is not None:
             _dict["category"] = np.asarray(

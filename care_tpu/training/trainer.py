@@ -131,11 +131,58 @@ class Trainer:
                 getattr(getattr(l, "sharding", None), "mesh", None)
                 is not None for l in leaves):
             return batch
+        bank = getattr(self, "_feature_bank", None)
+        if bank is not None and "video_ids" in batch \
+                and bank.covers(batch["video_ids"]):
+            # device feature bank: feats are assembled ON DEVICE from the
+            # resident tables; only indices + text arrays cross the tunnel
+            b = device_batch({k: v for k, v in batch.items()
+                              if k != "feats"})
+            b["feats"] = bank.lookup(batch["video_ids"],
+                                     batch.get("frame_ids"))
+            return b
         b = device_batch(batch)
         if self.mesh is not None:
             from care_tpu.parallel import shard_batch
             b = shard_batch(b, self.mesh)
         return b
+
+    def _maybe_build_feature_bank(self):
+        """Device-resident feature cache (data/feature_bank.py): features
+        are static per video, so ship each modality's full table ONCE and
+        gather per batch on device instead of re-shipping ~MBs/batch over
+        the tunnel every epoch (round-4 verdict item 3).  Single-process
+        only (multi-host input is already host-sliced + mesh-placed)."""
+        if getattr(self, "_feature_bank", None) is not None:
+            return
+        opt = self.opt
+        if not opt.get("device_feature_cache", True) \
+                or self.mesh is not None \
+                or self.train_loader is None \
+                or not hasattr(self.train_loader, "dataset"):
+            return
+        from care_tpu.data.feature_bank import build_feature_bank
+        dataset = self.train_loader.dataset
+        bank = build_feature_bank(dataset, opt)
+        if bank is None:
+            return
+        # coverage sanity on a real sample before committing to the bank:
+        # a vid-naming mismatch must fall back, not crash mid-epoch.  The
+        # probe must not advance the dataset's sampling RNGs (resume and
+        # loss trajectories are exact-reproducibility invariants).
+        rng_states = []
+        for attr in ("rng", "random"):
+            r = getattr(dataset, attr, None)
+            if r is not None:
+                rng_states.append((r, r.get_state()))
+        probe = dataset[0]
+        for r, st in rng_states:
+            r.set_state(st)
+        if probe.get("video_ids") not in bank.vid_to_row:
+            return
+        self._feature_bank = bank
+        dataset.skip_feats = True
+        print(f"- device feature cache: {bank.describe()}")
 
     def _build_tx(self, steps_per_epoch: int):
         opt = self.opt
@@ -248,6 +295,7 @@ class Trainer:
             self.init_model(first)
         if self.tx is None:
             self._build_tx(max(len(self.train_loader), 1))
+        self._maybe_build_feature_bank()
 
         training_scales = opt.get("training_scales", {}) or {}
         rng = jax.random.PRNGKey(opt.get("seed", 0) + 1)

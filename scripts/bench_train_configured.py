@@ -92,11 +92,27 @@ def main():
     samples_per_epoch = steps_per_epoch * opt["batch_size"]
     print(f"steps/epoch: {steps_per_epoch}", flush=True)
 
+    # no-cache comparison baseline: the last recorded artifact (round 4 ran
+    # without the device feature bank) — carried forward so the JSON shows
+    # the cache's epoch-rate effect without paying a second multi-minute
+    # tunnel compile for an A/B run
+    prev_rate = None
+    if os.path.exists(OUT_JSON):
+        try:
+            with open(OUT_JSON) as f:
+                prev = json.load(f)
+            prev_rate = (prev.get("configured_samples_per_s")
+                         if "feature_cache" not in prev
+                         else prev.get("no_cache_samples_per_s"))
+        except Exception:
+            pass
+
     trainer = Trainer(opt, train_loader=train_loader, val_loader=val_loader,
                       references=refs, vocab=itow)
     t_fit = time.time()
     trainer.fit(EPOCHS)
     fit_wall = time.time() - t_fit
+    bank = getattr(trainer, "_feature_bank", None)
 
     # representative (compile-free) epochs: warm epochs before the switch
     # (train-step + fused-decode programs compiled in epoch 0) and after
@@ -125,6 +141,8 @@ def main():
         "eval_fused_k": int(opt.get("eval_fused_k") or 4),
         "configured_samples_per_s": rate(warm_pre),
         "configured_samples_per_s_post_switch": rate(warm_post),
+        "feature_cache": (bank.describe() if bank is not None else None),
+        "no_cache_samples_per_s": prev_rate,
         "epoch_s_warm": (round(warm_pre["epoch_time"], 2)
                          if warm_pre else None),
         "fit_wall_s": round(fit_wall, 1),

@@ -1,0 +1,92 @@
+"""fused_head_beam_topk == unfused head + log_softmax + hierarchical
+top-k (round-5, VERDICT r4 #4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from care_tpu.ops.fused_head_topk import fused_head_beam_topk, DEAD
+from care_tpu.ops.topk import hierarchical_top_k
+
+
+def _reference(h, W, b, scores, eos_row, K):
+    logits = h @ W
+    if b is not None:
+        logits = logits + b
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    N, Kb = scores.shape
+    V = W.shape[1]
+    logp = jnp.maximum(logp.reshape(N, Kb, V), DEAD)
+    lk = scores[:, :, None] + logp
+    lk = jnp.where(eos_row[:, :, None], DEAD, lk)
+    return hierarchical_top_k(lk.reshape(N, Kb * V), K, assume_finite=True)
+
+
+@pytest.mark.parametrize("V,chunk", [(300, 128), (1000, 256), (1031, 256)])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_matches_reference(V, chunk, with_bias):
+    rng = np.random.RandomState(0)
+    N, Kb, H = 3, 4, 32
+    h = jnp.asarray(rng.randn(N * Kb, H), jnp.float32)
+    W = jnp.asarray(rng.randn(H, V) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(V) * 0.1, jnp.float32) if with_bias else None
+    scores = jnp.asarray(rng.randn(N, Kb), jnp.float32)
+    scores = scores.at[:, 2].set(DEAD)          # a dead-score beam row
+    eos_row = jnp.zeros((N, Kb), bool).at[1, 0].set(True)
+
+    want_v, want_i = _reference(h, W, b, scores, eos_row, Kb)
+    got_v, got_i = fused_head_beam_topk(h, W, b, scores, eos_row, Kb,
+                                        chunk_size=chunk)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=0, atol=1e-5)
+
+
+def test_all_rows_eos_dead_ties_are_harmless():
+    """With every beam row EOS-killed all candidates tie at DEAD; picks
+    may differ from the unfused path's flat-index order but values match
+    and ids stay in-range/distinct (see beam_search: such picks never
+    reach a finished buffer as valid hypotheses)."""
+    rng = np.random.RandomState(1)
+    N, Kb, H, V = 2, 3, 16, 500
+    h = jnp.asarray(rng.randn(N * Kb, H), jnp.float32)
+    W = jnp.asarray(rng.randn(H, V) * 0.1, jnp.float32)
+    scores = jnp.asarray(rng.randn(N, Kb), jnp.float32)
+    eos_row = jnp.ones((N, Kb), bool)
+    got_v, got_i = fused_head_beam_topk(h, W, None, scores, eos_row, Kb,
+                                        chunk_size=128)
+    assert np.all(np.asarray(got_v) == DEAD)
+    gi = np.asarray(got_i)
+    assert np.all((gi >= 0) & (gi < Kb * V))
+    for n in range(N):
+        assert len(set(gi[n])) == Kb
+
+
+def test_bf16_inputs_f32_softmax_boundary():
+    """bf16 h/W: matmul in bf16, softmax+scores in f32 — mirrors the
+    unfused decode's dtype path."""
+    rng = np.random.RandomState(2)
+    N, Kb, H, V = 2, 3, 32, 700
+    h32 = rng.randn(N * Kb, H).astype(np.float32)
+    W32 = (rng.randn(H, V) * 0.1).astype(np.float32)
+    h = jnp.asarray(h32, jnp.bfloat16)
+    W = jnp.asarray(W32, jnp.bfloat16)
+    scores = jnp.asarray(rng.randn(N, Kb), jnp.float32)
+    eos_row = jnp.zeros((N, Kb), bool)
+    want_v, want_i = _reference(h, W, None, scores, eos_row, Kb)
+    got_v, got_i = fused_head_beam_topk(h, W, None, scores, eos_row, Kb,
+                                        chunk_size=256)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=0, atol=1e-4)
+
+
+def test_grad_free_shapes_and_v_not_multiple_of_chunk():
+    got_v, got_i = fused_head_beam_topk(
+        jnp.ones((4, 8)), jnp.ones((8, 130)), None,
+        jnp.zeros((2, 2)), jnp.zeros((2, 2), bool), 2, chunk_size=64)
+    assert got_v.shape == (2, 2) and got_i.shape == (2, 2)
+    # padding columns (130 -> 192) must never be picked
+    assert np.all(np.asarray(got_i) % 130 < 130)
+    assert np.all(np.asarray(got_i) < 2 * 130)
