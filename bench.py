@@ -123,11 +123,19 @@ def _analytic_decode_bytes(variables, opt, batch_size, beam,
               + _kernel_param_bytes(variables, "cls_head", dtype_bytes))
     cross_kv_step = batch_size * l_cross * d * 2 * dtype_bytes * n_layers
     self_kv_step = rows * (steps / 2) * d * 2 * dtype_bytes * n_layers
-    logits_step = rows * V * dtype_bytes            # write
-    # chunked iterative top-k (ops/topk.py:_chunked_iterative_top_k): ONE
-    # pass over beam*V per instance builds the chunk-maxima cache; the k
-    # per-pick re-scans touch one chunk each (negligible)
-    topk_step = batch_size * (k_beam * V) * dtype_bytes
+    if opt.get("fused_head_topk", True) and not opt.get("pointer") \
+            and opt.get("cls_head", "NaiveHead") == "NaiveHead":
+        # fused head+top-k (round 5, ops/fused_head_topk.py): the [rows, V]
+        # logits stream through VMEM chunks — HBM sees only the candidate
+        # lists + online-softmax stats (~KB/step, negligible)
+        logits_step = 0
+        topk_step = 0
+    else:
+        logits_step = rows * V * dtype_bytes        # write
+        # chunked iterative top-k (ops/topk.py:_chunked_iterative_top_k):
+        # ONE pass over beam*V per instance builds the chunk-maxima cache;
+        # the k per-pick re-scans touch one chunk each (negligible)
+        topk_step = batch_size * (k_beam * V) * dtype_bytes
     per_step = (w_step + cross_kv_step + self_kv_step
                 + logits_step + topk_step)
     enc = (_kernel_param_bytes(variables, "encoder", dtype_bytes)
@@ -314,17 +322,77 @@ def main():
     fused_sync_cps, fused_time, fused_err = None, None, None
     try:
         fused_fn = translator._build_fused_fn(models, (), False)
+        # seed the translator's dispatch cache with THIS jitted fn so the
+        # ragged-serving measurement below reuses the same compiled
+        # program instead of paying a second multi-minute tunnel compile
+        translator._jit_cache[
+            (tuple(id(m) for m, _ in models), (), False, "fused", K_FUSED)
+        ] = (fused_fn, [m for m, _ in models])
         stacked = [jnp.stack([f] * K_FUSED) for f in batch["feats"]]
         fargs = ([variables], stacked, {})
-        compiled_fused = fused_fn.lower(*fargs).compile()
-        _drain(compiled_fused(*fargs))
+        _drain(fused_fn(*fargs))          # compile + warm (jit cache)
         t0 = time.perf_counter()
         for _ in range(3):
-            _drain(compiled_fused(*fargs))
+            _drain(fused_fn(*fargs))
         fused_time = (time.perf_counter() - t0) / 3
         fused_sync_cps = K_FUSED * BATCH / fused_time
     except Exception as e:  # never fail the whole bench
         fused_err = f"{type(e).__name__}: {e}"
+
+    # ---- ragged serving: a short tail batch row-padded into the SAME ---
+    # fused program (round 5): real translate.py eval streams end in a
+    # short batch; the grouped path must keep it within ~15% of the
+    # fused headline with zero extra compile surface
+    ragged_detail = None
+    if fused_sync_cps:
+        try:
+            SHORT = BATCH // 2
+            short_batch = {"feats": [f[:SHORT] for f in batch["feats"]]}
+            stream = [batch] * (K_FUSED - 1) + [short_batch]
+            real_caps = (K_FUSED - 1) * BATCH + SHORT
+            n_before = len(translator._jit_cache)
+
+            def run_grouped():
+                outs = list(translator.translate_batches_grouped(
+                    models, list(enumerate(stream)), fused_k=K_FUSED))
+                assert len(outs) == K_FUSED
+                assert len(outs[-1][1][0]) == SHORT
+
+            run_grouped()                 # pad-path warm (no new compile)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                run_grouped()
+            ragged_time = (time.perf_counter() - t0) / 3
+            ragged_cps = real_caps / ragged_time
+            ragged_detail = {
+                "short_rows": SHORT, "full_batches": K_FUSED - 1,
+                "caps_per_s": round(ragged_cps, 2),
+                "vs_fused_headline": round(ragged_cps / fused_sync_cps, 3),
+                "new_compiles": len(translator._jit_cache) - n_before,
+            }
+        except Exception as e:
+            ragged_detail = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- fused head+top-k A/B: the round-5 kernel (logits never hit ----
+    # HBM) vs the round-4 path (materialised logits + chunked top-k cache)
+    nofuse_detail = None
+    try:
+        opt_nf = dict(opt)
+        opt_nf["fused_head_topk"] = False
+        tr_nf = get_translator(opt_nf)
+        compiled_nf, args_nf, _ = _build_decode_fn(tr_nf, models, batch)
+        _drain(compiled_nf(*args_nf))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _drain(compiled_nf(*args_nf))
+        nofuse_time = (time.perf_counter() - t0) / 3
+        nofuse_detail = {
+            "sync_caps_per_s": round(BATCH / nofuse_time, 2),
+            "fused_head_speedup_sync_b64":
+                round(sync_cps / (BATCH / nofuse_time), 3),
+        }
+    except Exception as e:
+        nofuse_detail = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- batch-8 (same batch as the cached reference measurement) -----
     batch8 = {"feats": [f[:SMALL_BATCH] for f in batch["feats"]]}
@@ -830,6 +898,8 @@ def main():
             "fused_sync_error": fused_err,
             "fused_sync_s_per_call": (round(fused_time, 4)
                                          if fused_time else None),
+            "ragged_serving": ragged_detail,
+            "unfused_head_ab": nofuse_detail,
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
             "h2d_bandwidth_MBps": round(h2d_mbps, 1),
             "bf16_serving": bf16_detail,

@@ -23,7 +23,7 @@ Early exit: the while_loop terminates as soon as every instance has filled
 its finished buffer, matching the reference's active-list break.
 """
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,7 @@ def beam_search(
     bos_id: int = constants.BOS,
     eos_id: int = constants.EOS,
     gather_carry: Callable[[Any, jnp.ndarray], Any] = None,
+    fused_head: Optional[Tuple[Any, Any, int]] = None,
 ):
     """Run beam search; returns (hyp_tokens [N, topk, max_len],
     hyp_scores [N, topk], hyp_lengths [N, topk]).
@@ -72,6 +73,13 @@ def beam_search(
     are clamped to the finite ``DEAD`` score before accumulation: the exact
     top-k runs in its ``assume_finite`` fast path, whose distinct-index
     guarantee requires every input > -inf.
+
+    ``fused_head=(W, b, chunk_size)`` switches the expansion to
+    ``ops/fused_head_topk.fused_head_beam_topk``: ``step_fn`` must then
+    return decoder HIDDEN states ``[N*K, H]`` (pre vocab projection) and
+    the ``[rows, V]`` logits are never materialised — the projection
+    streams in vocab chunks straight into the online-softmax + candidate
+    cache (the single largest HBM term of the decode loop, DESIGN.md §11).
     """
     N, K, V = batch_size, beam_size, vocab_size
     F = max(K, topk)
@@ -101,24 +109,30 @@ def beam_search(
 
     def body(state: BeamState) -> BeamState:
         t = state.t
-        logp, carry = step_fn(state.last_tokens.reshape(N * K), t - 1,
-                              state.carry)
-        # clamp -inf masks to the finite DEAD score: the assume_finite
-        # top-k below would silently return duplicate indices otherwise
-        logp = jnp.maximum(logp.reshape(N, K, V), DEAD)
-
-        # kill rows that already emitted EOS
+        out, carry = step_fn(state.last_tokens.reshape(N * K), t - 1,
+                             state.carry)
         eos_row = state.last_tokens == eos_id
-        beam_lk = state.scores[:, :, None] + logp
-        beam_lk = jnp.where(eos_row[:, :, None], DEAD, beam_lk)
+        if fused_head is not None:
+            from care_tpu.ops.fused_head_topk import fused_head_beam_topk
+            W, bias, chunk = fused_head
+            best_scores, best_ids = fused_head_beam_topk(
+                out, W, bias, state.scores, eos_row, K, chunk_size=chunk)
+        else:
+            # clamp -inf masks to the finite DEAD score: the assume_finite
+            # top-k below would silently return duplicate indices otherwise
+            logp = jnp.maximum(out.reshape(N, K, V), DEAD)
+            # kill rows that already emitted EOS
+            beam_lk = state.scores[:, :, None] + logp
+            beam_lk = jnp.where(eos_row[:, :, None], DEAD, beam_lk)
 
-        flat = beam_lk.reshape(N, K * V)
-        # exact two-stage top-k: lax.top_k over 55k-wide axes is a compile-
-        # time and runtime hazard on TPU (see ops/topk.py).  assume_finite
-        # holds: scores are finite (DEAD = -1e20, not -inf) and
-        # log_softmax/log(probs+eps) of finite inputs never yields -inf
-        best_scores, best_ids = hierarchical_top_k(
-            flat, K, assume_finite=True)                      # [N, K]
+            flat = beam_lk.reshape(N, K * V)
+            # exact two-stage top-k: lax.top_k over 55k-wide axes is a
+            # compile-time and runtime hazard on TPU (see ops/topk.py).
+            # assume_finite holds: scores are finite (DEAD = -1e20, not
+            # -inf) and log_softmax/log(probs+eps) of finite inputs never
+            # yields -inf
+            best_scores, best_ids = hierarchical_top_k(
+                flat, K, assume_finite=True)                  # [N, K]
         prev_k = best_ids // V
         new_tok = best_ids - prev_k * V
 

@@ -205,6 +205,17 @@ class TranslatorARFormer(Translator):
         compute_dtype = opt.get("compute_dtype_decode", None)
         keep_head_f32 = opt.get("decode_head_f32", False)
 
+        # fused vocab-projection + top-k (ops/fused_head_topk.py): the
+        # decode loop's [rows, V] logits never materialise in HBM.  Valid
+        # exactly when ONE model projects hidden states through a plain
+        # linear head (no pointer/copy probs, no ensemble logp averaging,
+        # no RNN is_prob variations) — the flagship serving shape.
+        fuse_head = (opt.get("fused_head_topk", True)
+                     and len(models) == 1 and not is_rnn
+                     and not opt.get("pointer")
+                     and opt.get("cls_head") == "NaiveHead")
+        fused_chunk = int(opt.get("fused_head_chunk", 2048))
+
         def run(all_variables, feats, batch_aux):
             if compute_dtype is not None:
                 # half-precision decode: params + activations in bf16, beam
@@ -274,6 +285,23 @@ class TranslatorARFormer(Translator):
                             })
                         new.append({**carry, "layers": layers})
                 return tuple(new)
+
+            if fuse_head:
+                model, variables = models[0][0], all_variables[0]
+                head_W = variables["params"]["cls_head"]["tgt_word_prj"][
+                    "kernel"]
+
+                def step_fn(tokens, position, carry_tuple):
+                    h, new_carry = model.apply(
+                        variables, tokens, position, carry_tuple[0],
+                        method=Captioner.decode_step_hidden)
+                    return h, (new_carry,)
+
+                return beam_search(
+                    step_fn, tuple(carries), batch_size=N, vocab_size=vocab,
+                    beam_size=beam_size, max_len=max_len, beam_alpha=alpha,
+                    topk=topk, gather_carry=gather_carry,
+                    fused_head=(head_W, None, fused_chunk))
 
             def step_fn(tokens, position, carry_tuple):
                 logps = []

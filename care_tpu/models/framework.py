@@ -288,6 +288,15 @@ class Captioner(nn.Module):
             category=inputs_for_decoder.get("category"),
             category_embs=inputs_for_decoder.get("category_embs"))
 
+    def decode_step_hidden(self, token_ids, position, state):
+        """One AR step returning the decoder hidden states [B, H] BEFORE
+        the vocab projection — the fused head+top-k serving path
+        (``ops/fused_head_topk.py``) streams the projection in vocab
+        chunks so the [B, V] logits never land in HBM.  Only valid for
+        plain-head models (NaiveHead, no pointer): the translator gates
+        on that statically."""
+        return self.decoder.decode_step(token_ids, position, state)
+
     def decode_step(self, token_ids, position, state,
                     inputs_for_decoder: Optional[Dict[str, Any]] = None):
         """One AR step: returns (log-probs or logits [B, V], new state)."""

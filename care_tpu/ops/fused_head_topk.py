@@ -9,34 +9,41 @@ remaining HBM traffic term after the beam-grouped KV redesign (DESIGN.md
 ``models/Translator.py:111-133``, which materialises the full
 ``[rows, V]`` probabilities every step).
 
-This op streams the vocab in chunks: per chunk it computes
-``h @ W[:, c]``, folds the chunk straight into an online-softmax
-``(max, sumexp)`` pair AND a per-chunk top-``K`` candidate list, then
-resolves the beam top-k over the ``K*C*K`` candidates. HBM traffic per
-step drops from ``~4 x rows x V x 4B`` (logits write + softmax reads +
-cache-build read) to the unavoidable ``W`` read plus a few KB of
-candidates.
+Two backends behind one interface:
+
+* **xla** — a ``lax.scan`` over vocab chunks: per chunk ``h @ W[:, c]``
+  folds into an online-softmax ``(max, sumexp)`` pair and a per-chunk
+  top-``K`` candidate list (XLA decides how much of the chunk pipeline
+  stays in VMEM);
+* **pallas** — one TPU kernel, grid ``(row_blocks, vocab_chunks)``: the
+  logits block never leaves VMEM; scratch carries the online softmax
+  stats AND a running top-``K`` (merged per chunk with reduction-only
+  ops — no gathers), so HBM sees only ``W`` once plus a few KB of
+  stats/candidates per row block.
 
 Numerics mirror the unfused path op-for-op: per-element log-prob is
 ``(x - max) - log(sumexp)`` (the ``jax.nn.log_softmax`` association),
-clamped to the finite ``DEAD`` before score accumulation; matmul runs in
-the inputs' dtype (bf16 serving keeps its precision behavior) and is
-cast to f32 at the softmax boundary, like ``decode_step``. The only
-deviation is the summation ORDER inside ``sumexp`` (chunked online
-accumulation vs one flat XLA reduction): a <=1-ulp difference in
-``log(s)`` that tests bound at token-identical beams.
+clamped to the finite ``DEAD`` before score accumulation; the matmul
+result is rounded to the inputs' dtype before the f32 softmax boundary,
+like ``decode_step``'s Dense. The only deviation is the summation ORDER
+inside ``sumexp`` (chunked online accumulation vs one flat XLA
+reduction): a <=1-ulp difference in ``log(s)`` that tests bound at
+token-identical beams.
 
 Tie semantics equal ``lax.top_k`` over the flat ``[N, K*V]`` scores:
-within a chunk first-occurrence argmax keeps lowest-index-first, the
-candidate list is (beam, chunk, rank)-ordered so equal values keep
-global index order, and the final ``lax.top_k`` over candidates prefers
-the lowest candidate position.
+first-occurrence argmax keeps lowest-index-first inside a chunk, running
+candidates (earlier chunks, lower global ids) sit before chunk entries
+in the pallas merge, the candidate lists keep (beam, chunk/rank) order,
+and the final ``lax.top_k`` over candidates prefers the lowest candidate
+position.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from care_tpu.ops.topk import _iterative_top_k
 
@@ -46,58 +53,14 @@ DEAD = -1e20
 # DEAD clamp lifts the resulting candidates to the same value the unfused
 # path assigns impossible tokens
 _PAD_LOGIT = -1e30
+_RUN_INIT = -1e38          # running top-k init: below even _PAD_LOGIT
 
 
-@functools.partial(jax.jit, static_argnames=("beam_k", "chunk_size"))
-def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
-                         chunk_size: int = 2048):
-    """h: [N*K, H] decoder hidden states; W: [H, V] vocab kernel; b: [V]
-    bias or None; scores: [N, K] cumulative beam scores; eos_row: [N, K]
-    rows already finished. Returns (best_scores [N, K], best_ids [N, K])
-    with ids indexing the flat k*V + v space — exactly like
-
-        logp  = log_softmax((h @ W + b).astype(f32))
-        lk    = scores[:, :, None] + maximum(logp, DEAD).reshape(N, K, V)
-        lk    = where(eos_row[:, :, None], DEAD, lk)
-        hierarchical_top_k(lk.reshape(N, K * V), K)
-    """
-    rows, H = h.shape
-    V = W.shape[1]
+def _finalize(cv, ids, m, s, scores, eos_row, beam_k, V):
+    """(per-row raw-logit candidates, online-softmax stats) -> beam
+    top-k. cv/ids: [rows, n_cand] in a global-index-stable tie order."""
     N, Kb = scores.shape
-    assert rows == N * Kb, (rows, N, Kb)
-    C = -(-V // chunk_size)
-    pad = C * chunk_size - V
-
-    if b is None:
-        b = jnp.zeros((V,), h.dtype)
-    if pad:
-        W = jnp.pad(W, ((0, 0), (0, pad)))
-        b = jnp.pad(b, (0, pad), constant_values=_PAD_LOGIT)
-    Wc = W.reshape(H, C, chunk_size).transpose(1, 0, 2)   # [C, H, chunk]
-    bc = b.reshape(C, chunk_size)
-
-    def chunk_body(carry, wb):
-        m, s = carry                                       # [rows], [rows]
-        w, bias = wb
-        logits = (h @ w + bias[None, :]).astype(jnp.float32)
-        mc = jnp.max(logits, axis=-1)
-        m_new = jnp.maximum(m, mc)
-        s_new = (s * jnp.exp(m - m_new)
-                 + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1))
-        vals, args = _iterative_top_k(logits, beam_k, assume_finite=True)
-        return (m_new, s_new), (vals, args)
-
-    init = (jnp.full((rows,), -jnp.inf, jnp.float32),
-            jnp.zeros((rows,), jnp.float32))
-    (m, s), (cv, ca) = jax.lax.scan(chunk_body, init, (Wc, bc))
-    # cv/ca: [C, rows, K] -> candidate lists ordered (chunk, rank) per row
-    cv = jnp.moveaxis(cv, 0, 1)                            # [rows, C, K]
-    ids = jnp.moveaxis(ca, 0, 1) + (
-        jnp.arange(C) * chunk_size)[None, :, None]         # global v idx
-    n_cand = C * beam_k
-    cv = cv.reshape(rows, n_cand)
-    ids = ids.reshape(rows, n_cand)
-
+    n_cand = cv.shape[1]
     # log_softmax association: (x - max) - log(sumexp), then the DEAD
     # clamp, then the beam-score add — op-for-op the unfused path
     logp = (cv - m[:, None]) - jnp.log(s)[:, None]
@@ -111,3 +74,217 @@ def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
     best, sel = jax.lax.top_k(flat_val, beam_k)
     best_ids = jnp.take_along_axis(flat_idx, sel, axis=-1)
     return best, best_ids
+
+
+def _pad_wb(W, b, dtype, chunk_size):
+    H, V = W.shape
+    C = -(-V // chunk_size)
+    pad = C * chunk_size - V
+    if b is None:
+        b = jnp.zeros((V,), dtype)
+    if pad:
+        W = jnp.pad(W, ((0, 0), (0, pad)))
+        b = jnp.pad(b, (0, pad), constant_values=_PAD_LOGIT)
+    return W, b, C
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def _stats_xla(h, W, b, beam_k, chunk_size):
+    rows, H = h.shape
+    W, b, C = _pad_wb(W, b, h.dtype, chunk_size)
+    Wc = W.reshape(H, C, chunk_size).transpose(1, 0, 2)    # [C, H, chunk]
+    bc = b.reshape(C, chunk_size)
+
+    def chunk_body(carry, wb):
+        m, s = carry                                        # [rows], [rows]
+        w, bias = wb
+        logits = (h @ w + bias[None, :]).astype(jnp.float32)
+        mc = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m, mc)
+        s_new = (s * jnp.exp(m - m_new)
+                 + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1))
+        vals, args = _iterative_top_k(logits, beam_k, assume_finite=True)
+        return (m_new, s_new), (vals, args)
+
+    init = (jnp.full((rows,), -jnp.inf, jnp.float32),
+            jnp.zeros((rows,), jnp.float32))
+    (m, s), (cv, ca) = jax.lax.scan(chunk_body, init, (Wc, bc))
+    # cv/ca: [C, rows, K] -> candidates ordered (chunk, rank) per row
+    cv = jnp.moveaxis(cv, 0, 1).reshape(rows, C * beam_k)
+    ids = (jnp.moveaxis(ca, 0, 1)
+           + (jnp.arange(C) * chunk_size)[None, :, None]
+           ).reshape(rows, C * beam_k)
+    return cv, ids, m, s
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(h_ref, w_ref, b_ref, mv_ref, sv_ref, cv_ref, ci_ref,
+                  m_scr, s_scr, v_scr, i_scr,
+                  *, beam_k: int, chunk_size: int, cand_pad: int,
+                  round_dtype):
+    c = pl.program_id(1)
+    num_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        v_scr[:] = jnp.full_like(v_scr, _RUN_INIT)
+        i_scr[:] = jnp.zeros_like(i_scr)
+
+    h = h_ref[:]                                     # [bm, H]
+    w = w_ref[:]                                     # [H, chunk]
+    logits = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if round_dtype is not None:
+        # mirror the unfused Dense: a bf16 matmul rounds its result to
+        # bf16 before the f32 softmax boundary
+        logits = logits.astype(round_dtype)
+    logits = (logits + b_ref[:]).astype(jnp.float32)  # [bm, chunk]
+
+    m_prev = m_scr[:]                                 # [bm, 1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    s_scr[:] = (s_scr[:] * jnp.exp(m_prev - m_new)
+                + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
+    m_scr[:] = m_new
+
+    # merge the chunk into the running top-K.  Candidate order [running |
+    # chunk]: running entries came from earlier chunks (lower global ids,
+    # stored rank-major), so first-occurrence max-picking preserves
+    # lax.top_k's lowest-global-index tie order.  Reduction-only (no
+    # per-row gathers): the picked slot is located by (value == max) &
+    # (position == argmax), its id extracted by a masked sum.
+    bm = logits.shape[0]
+    cand_v = jnp.concatenate([v_scr[:, :beam_k], logits], axis=1)
+    chunk_ids = (c * chunk_size
+                 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1))
+    cand_i = jnp.concatenate([i_scr[:, :beam_k], chunk_ids], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, cand_v.shape, 1)
+    new_v, new_i = [], []
+    for _ in range(beam_k):
+        vmax = jnp.max(cand_v, axis=-1, keepdims=True)   # [bm, 1]
+        first = jnp.argmax(cand_v == vmax, axis=-1)[:, None]
+        picked = pos == first
+        gid = jnp.sum(jnp.where(picked, cand_i, 0), axis=-1, keepdims=True)
+        new_v.append(vmax)
+        new_i.append(gid)
+        cand_v = jnp.where(picked, _RUN_INIT, cand_v)
+    pad = jnp.zeros((bm, cand_pad - beam_k), jnp.float32)
+    v_scr[:] = jnp.concatenate(new_v + [pad + _RUN_INIT], axis=1)
+    i_scr[:] = jnp.concatenate(new_i + [pad.astype(jnp.int32)], axis=1)
+
+    @pl.when(c == num_c - 1)
+    def _out():
+        mv_ref[:] = m_scr[:]
+        sv_ref[:] = s_scr[:]
+        cv_ref[:] = v_scr[:]
+        ci_ref[:] = i_scr[:]
+
+
+def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
+    rows, H = h.shape
+    dtype = h.dtype
+    W, bpad, C = _pad_wb(W, b, dtype, chunk_size)
+    rows_pad = -(-rows // block_rows) * block_rows
+    if rows_pad != rows:
+        h = jnp.pad(h, ((0, rows_pad - rows), (0, 0)))
+    cand_pad = max(beam_k, 128)   # lane-aligned candidate blocks
+    # round-to-input-dtype only when the unfused matmul would (bf16 in)
+    round_dtype = dtype if dtype != jnp.float32 else None
+
+    kernel = functools.partial(
+        _fused_kernel, beam_k=beam_k, chunk_size=chunk_size,
+        cand_pad=cand_pad, round_dtype=round_dtype)
+    grid = (rows_pad // block_rows, C)
+
+    m, s, cv, ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((block_rows, H), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, chunk_size), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk_size), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, 1), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cand_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cand_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, cand_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, cand_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, 1), jnp.float32),
+            pltpu.VMEM((block_rows, 1), jnp.float32),
+            pltpu.VMEM((block_rows, cand_pad), jnp.float32),
+            pltpu.VMEM((block_rows, cand_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * H * W.shape[1],
+            bytes_accessed=W.size * W.dtype.itemsize
+            + h.size * h.dtype.itemsize,
+            transcendentals=rows_pad * W.shape[1],
+        ),
+    )(h, W, bpad[None, :].astype(jnp.float32))
+
+    return (cv[:rows, :beam_k], ids[:rows, :beam_k],
+            m[:rows, 0], s[:rows, 0])
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("beam_k", "chunk_size",
+                                             "backend", "block_rows",
+                                             "interpret"))
+def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
+                         chunk_size: int = 2048, backend: str = "auto",
+                         block_rows: int = 256, interpret: bool = False):
+    """h: [N*K, H] decoder hidden states; W: [H, V] vocab kernel; b: [V]
+    bias or None; scores: [N, K] cumulative beam scores; eos_row: [N, K]
+    rows already finished. Returns (best_scores [N, K], best_ids [N, K])
+    with ids indexing the flat k*V + v space — exactly like
+
+        logp  = log_softmax((h @ W + b).astype(f32))
+        lk    = scores[:, :, None] + maximum(logp, DEAD).reshape(N, K, V)
+        lk    = where(eos_row[:, :, None], DEAD, lk)
+        hierarchical_top_k(lk.reshape(N, K * V), K)
+
+    ``backend='auto'`` uses the pallas kernel on TPU backends and the
+    lax.scan form elsewhere.
+    """
+    rows, H = h.shape
+    V = W.shape[1]
+    N, Kb = scores.shape
+    assert rows == N * Kb, (rows, N, Kb)
+
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                   else "xla")
+    if backend == "pallas":
+        cv, ids, m, s = _stats_pallas(h, W, b, beam_k, chunk_size,
+                                      block_rows, interpret)
+    else:
+        cv, ids, m, s = _stats_xla(h, W, b, beam_k, chunk_size)
+    return _finalize(cv, ids, m, s, scores, eos_row, beam_k, V)

@@ -42,6 +42,17 @@ SWITCH_EPOCH = 3           # the two tunnel compiles dominate wall-clock
 # CARE_TRAIN_CFG_SMALL=1: tiny-shape CPU smoke run of this exact flow
 # (no weights/JSON overwrite of the real TPU artifacts)
 SMALL = bool(os.environ.get("CARE_TRAIN_CFG_SMALL"))
+if SMALL:
+    # pin the CPU backend before any backend init: the env forces
+    # JAX_PLATFORMS=axon (sitecustomize imports jax at interpreter start,
+    # so env edits alone are too late) and a downed tunnel hangs axon
+    # backend init forever
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    from jax._src import xla_bridge as _xb
+    if not _xb._backends:
+        jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -143,7 +154,7 @@ def main():
         "configured_samples_per_s_post_switch": rate(warm_post),
         "feature_cache": (bank.describe() if bank is not None else None),
         "no_cache_samples_per_s": prev_rate,
-        "epoch_s_warm": (round(warm_pre["epoch_time"], 2)
+        "epoch_s_warm": (round(min(h["epoch_time"] for h in warm_pre), 2)
                          if warm_pre else None),
         "fit_wall_s": round(fit_wall, 1),
         "history": [

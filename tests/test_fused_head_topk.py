@@ -23,9 +23,10 @@ def _reference(h, W, b, scores, eos_row, K):
     return hierarchical_top_k(lk.reshape(N, Kb * V), K, assume_finite=True)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("V,chunk", [(300, 128), (1000, 256), (1031, 256)])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_matches_reference(V, chunk, with_bias):
+def test_matches_reference(V, chunk, with_bias, backend):
     rng = np.random.RandomState(0)
     N, Kb, H = 3, 4, 32
     h = jnp.asarray(rng.randn(N * Kb, H), jnp.float32)
@@ -36,11 +37,33 @@ def test_matches_reference(V, chunk, with_bias):
     eos_row = jnp.zeros((N, Kb), bool).at[1, 0].set(True)
 
     want_v, want_i = _reference(h, W, b, scores, eos_row, Kb)
-    got_v, got_i = fused_head_beam_topk(h, W, b, scores, eos_row, Kb,
-                                        chunk_size=chunk)
+    got_v, got_i = fused_head_beam_topk(
+        h, W, b, scores, eos_row, Kb, chunk_size=chunk, backend=backend,
+        block_rows=8, interpret=backend == "pallas")
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                rtol=0, atol=1e-5)
+
+
+def test_pallas_tie_order_matches_lax_top_k():
+    """Duplicate logit values within and across chunks: the running-merge
+    tie order must still equal lax.top_k's lowest-global-index-first."""
+    N, Kb, H, V = 1, 2, 8, 260
+    rng = np.random.RandomState(3)
+    h = jnp.asarray(np.ones((N * Kb, H)), jnp.float32)
+    # W columns engineered so many logits collide exactly
+    Wcols = rng.randint(0, 5, size=(V,)).astype(np.float32) / 8.0
+    W = jnp.asarray(np.tile(Wcols[None, :], (H, 1)) / H, jnp.float32)
+    scores = jnp.zeros((N, Kb), jnp.float32)
+    eos_row = jnp.zeros((N, Kb), bool)
+    want_v, want_i = _reference(h, W, None, scores, eos_row, Kb)
+    for backend in ("xla", "pallas"):
+        got_v, got_i = fused_head_beam_topk(
+            h, W, None, scores, eos_row, Kb, chunk_size=128,
+            backend=backend, block_rows=8, interpret=backend == "pallas")
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=0, atol=1e-6)
 
 
 def test_all_rows_eos_dead_ties_are_harmless():
