@@ -507,6 +507,22 @@ def main():
         for _ in range(3):
             _drain(compiled_sbf(*sargs))
         t_sbf = (time.perf_counter() - t0) / 3
+        # batch 1024, single program: with the round-5 fused head freeing
+        # the logits bandwidth, fatter rows may beat b512-K2 (the fused-K
+        # map is sequential, a wider batch amortises weight reads too)
+        t_b1024, b1024_err = None, None
+        try:
+            batch_xl = _synthetic_batch(opt, batch_size=1024)
+            xargs = ([variables], batch_xl["feats"], {})
+            fn_xl = tr_bf._build_fn(models, (), False)
+            _drain(fn_xl(*xargs))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _drain(fn_xl(*xargs))
+            t_b1024 = (time.perf_counter() - t0) / 3
+        except Exception as e:
+            b1024_err = f"{type(e).__name__}: {e}"
+
         bf16_detail = {
             # untrained model = worst case: every candidate is a near-tie
             "caption_agreement_vs_f32_batch64": round(agree, 4),
@@ -522,6 +538,9 @@ def main():
             "batch": SBATCH, "fused_k": KS,
             "sync_caps_per_s": round(KS * SBATCH / t_sbf, 2),
             "s_per_call": round(t_sbf, 4),
+            "b1024_caps_per_s": (round(1024 / t_b1024, 2)
+                                 if t_b1024 else None),
+            "b1024_error": b1024_err,
         }
     except Exception as e:
         bf16_detail = {"error": f"{type(e).__name__}: {e}"}
@@ -539,10 +558,10 @@ def main():
             tv = [trained_vars]
             t_fused = t_bf512 = None
             if fused_time is not None:
-                _drain(compiled_fused(tv, *fargs[1:]))
+                _drain(fused_fn(tv, *fargs[1:]))
                 t0 = time.perf_counter()
                 for _ in range(3):
-                    _drain(compiled_fused(tv, *fargs[1:]))
+                    _drain(fused_fn(tv, *fargs[1:]))
                 t_fused = (time.perf_counter() - t0) / 3
             if isinstance(bf16_detail, dict) and "error" not in bf16_detail:
                 _drain(compiled_sbf(tv, *sargs[1:]))
@@ -789,10 +808,48 @@ def main():
             t_params, t_state, loss = train_step(t_params, t_state, tbatch)
         np.asarray(loss)  # one sync for the whole chain
         t_chain = (time.perf_counter() - t0) / N_STEPS
+
+        # round-5 A/B: fused-xent step — no [B, L, V] logits fwd or bwd
+        @jax.jit
+        def train_step_fused(params, opt_state, b):
+            def loss_fn(p):
+                out = model.apply({"params": p}, b, deterministic=True,
+                                  collect_aux=False, compute_logits=False)
+                results = {**out, **b}
+                if "logits" not in out:
+                    results["cls_head_kernel"] = \
+                        p["cls_head"]["tgt_word_prj"]["kernel"]
+                total, _, _ = criterion(results, None)
+                return total
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t_fx = None
+        try:
+            f_params, f_state = variables["params"], tx.init(
+                variables["params"])
+            f_params, f_state, loss = train_step_fused(f_params, f_state,
+                                                       tbatch)
+            np.asarray(loss)
+            t0 = time.perf_counter()
+            for _ in range(N_STEPS):
+                f_params, f_state, loss = train_step_fused(
+                    f_params, f_state, tbatch)
+            np.asarray(loss)
+            t_fx = (time.perf_counter() - t0) / N_STEPS
+        except Exception:
+            t_fx = None
+
         train_detail = {
             "batch": BATCH,
             "device_s_per_step": round(t_chain, 5),
             "samples_per_s": round(BATCH / t_chain, 1),
+            "fused_xent_s_per_step": (round(t_fx, 5) if t_fx else None),
+            "fused_xent_samples_per_s": (round(BATCH / t_fx, 1)
+                                         if t_fx else None),
+            "fused_xent_speedup": (round(t_chain / t_fx, 3)
+                                   if t_fx else None),
             "note": "chained enqueue, floor amortised over 20 steps; "
                     "core step only (deterministic fwd, no dropout/"
                     "scheduled-sampling/aux collection, plain Adam) — an "
@@ -877,10 +934,13 @@ def main():
     # agreement is unreachable-low by construction (round-3 verdict).
     if (isinstance(bf16_detail, dict) and "error" not in bf16_detail
             and bf16_detail.get("caption_agreement_trained") is not None
-            and bf16_detail["caption_agreement_trained"] >= 0.995
-            and bf16_detail["sync_caps_per_s"] > best_cps):
-        best_cps = bf16_detail["sync_caps_per_s"]
-        headline_mode = "bf16_fused_sync_b512_k2"
+            and bf16_detail["caption_agreement_trained"] >= 0.995):
+        if bf16_detail["sync_caps_per_s"] > best_cps:
+            best_cps = bf16_detail["sync_caps_per_s"]
+            headline_mode = "bf16_fused_sync_b512_k2"
+        if (bf16_detail.get("b1024_caps_per_s") or 0) > best_cps:
+            best_cps = bf16_detail["b1024_caps_per_s"]
+            headline_mode = "bf16_sync_b1024"
     result = {
         "metric": "captions_per_sec_beam5",
         "value": round(best_cps, 2),

@@ -192,7 +192,14 @@ class Captioner(nn.Module):
                        rnn_state=None,
                        schedule_sampling_prob: float = 0.0,
                        attr_input_ids=None,
-                       collect_aux: bool = True) -> Dict[str, Any]:
+                       collect_aux: bool = True,
+                       compute_logits: bool = True) -> Dict[str, Any]:
+        """``compute_logits=False`` (fused-xent training path,
+        ``ops/fused_xent.py``): skip the vocab projection — the criterion
+        computes its statistics chunkwise from ``hidden_states`` and the
+        head kernel so the ``[B, L, V]`` logits never materialise.  Only
+        requested by the trainer for eligible configs (plain NaiveHead,
+        no pointer, single hidden stream)."""
         if self.is_rnn:
             return self._rnn_decoding_phase(
                 input_ids, inputs_for_decoder,
@@ -207,6 +214,11 @@ class Captioner(nn.Module):
             collect_aux=collect_aux,
             **inputs_for_decoder)
         hidden_states = outputs["hidden_states"]
+
+        if (not compute_logits and not last_time_step_logits
+                and not isinstance(hidden_states, list)
+                and self.pointer is None):
+            return outputs
 
         if last_time_step_logits:
             if isinstance(hidden_states, list):
@@ -249,7 +261,8 @@ class Captioner(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, Any], deterministic: bool = True,
                  schedule_sampling_prob: float = 0.0,
-                 collect_aux: bool = True) -> Dict[str, Any]:
+                 collect_aux: bool = True,
+                 compute_logits: bool = True) -> Dict[str, Any]:
         """feedforward_step (reference ``Framework.py:215-234``)."""
         encoding_phase_outputs = self.encoding_phase(
             batch["feats"], deterministic=deterministic)
@@ -260,7 +273,8 @@ class Captioner(nn.Module):
             deterministic=deterministic,
             schedule_sampling_prob=schedule_sampling_prob,
             attr_input_ids=batch.get("attr_input_ids"),
-            collect_aux=collect_aux)
+            collect_aux=collect_aux,
+            compute_logits=compute_logits)
         return {**encoding_phase_outputs, **decoding_phase_outputs,
                 "schedule_sampling_prob": schedule_sampling_prob}
 

@@ -91,7 +91,66 @@ def _lang_step(opt, logits, labels, probs=None):
     return loss_sum, metrics
 
 
+def _lang_step_fused(opt, hidden, kernel, labels):
+    """Fused-xent variant of ``_lang_step`` (ops/fused_xent.py): the
+    criterion's four statistics stream from (hidden, head kernel) in
+    vocab chunks, so the [B, L, V] logits never materialise — same
+    position slicing, loss algebra and recorder metrics."""
+    from care_tpu.ops.fused_xent import vocab_xent_stats
+
+    use_attr = opt.get("use_attr", False)
+    t = opt.get("use_attr_type") or ""
+    if use_attr and "prefix" in t:
+        assert hidden.shape[1] == labels.shape[1] + opt["use_attr_topk"]
+        hidden = hidden[:, opt["use_attr_topk"]:, :]
+    elif use_attr and "pp" in t:
+        assert hidden.shape[1] == labels.shape[1] + 1
+        hidden = hidden[:, 1:, :]
+    elif hidden.shape[1] == labels.shape[1] + 1:
+        hidden = hidden[:, :-1, :]
+    else:
+        assert hidden.shape[1] == labels.shape[1], \
+            (hidden.shape, labels.shape)
+
+    V = kernel.shape[1]
+    lse, lab, tot, amax = vocab_xent_stats(
+        hidden, kernel, None, labels, opt.get("fused_xent_chunk", 2048))
+    # log_softmax identities: nll = lse - label_logit;
+    # -mean(logprobs) = lse - sum(logits)/V; argmax(logits)==argmax(logp)
+    nll = lse - lab
+    smooth = lse - tot / V
+    label_smoothing = opt.get("label_smoothing", 0.0)
+    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+
+    mask = (labels != constants.PAD).astype(jnp.float32)
+    loss_sum = jnp.sum(loss * mask)
+    correct = ((amax == labels) & (labels != constants.PAD))
+    metrics = {
+        "word_acc_num": jnp.sum(correct.astype(jnp.float32)),
+        "word_acc_den": jnp.sum(mask),
+        "xent_sum": jnp.sum(nll * mask),
+        "xent_count": jnp.sum(mask),
+    }
+    return loss_sum, metrics
+
+
 def lang_loss(opt, results) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    if results.get("logits") is None and "cls_head_kernel" in results:
+        # fused-xent path (trainer-injected kernel; single hidden stream,
+        # plain head, no pointer — eligibility decided statically there)
+        labels = _as_list(results["labels"])
+        assert len(labels) == 1
+        hidden = results["hidden_states"]
+        denom = jnp.asarray(hidden.shape[0], jnp.float32)
+        s, m = _lang_step_fused(opt, hidden, results["cls_head_kernel"],
+                                labels[0])
+        return s / denom, {
+            "word_acc_num0": m["word_acc_num"],
+            "word_acc_den0": m["word_acc_den"],
+            "xent_sum": m["xent_sum"],
+            "xent_count": m["xent_count"],
+        }
+
     logits = _as_list(results["logits"])
     labels = _as_list(results["labels"])
     probs = results.get("probs", None)

@@ -220,6 +220,18 @@ class Trainer:
         opt = self.opt
         has_batch_stats = "batch_stats" in (self.variables or {})
         collect_aux = self._needs_aux
+        # fused-xent training (ops/fused_xent.py): skip the model's vocab
+        # projection and stream the criterion's statistics chunkwise from
+        # (hidden_states, head kernel) — the [B, L, V] logits and their
+        # gradient never materialise.  Static eligibility: single hidden
+        # stream through a plain NaiveHead, no pointer copy-probs, no
+        # visual-word multi-pass, transformer decoder, lang crit present.
+        fused_xent = (opt.get("fused_xent", True)
+                      and "lang" in opt.get("crits", [])
+                      and opt.get("cls_head") == "NaiveHead"
+                      and not opt.get("pointer")
+                      and not opt.get("visual_word_generation", False)
+                      and "rnn" not in opt.get("decoder", "").lower())
 
         def train_step(params, extra_vars, opt_state, batch, rng, ss_prob):
             dropout_rng, sampling_rng = jax.random.split(rng)
@@ -232,12 +244,14 @@ class Trainer:
                         variables, batch, deterministic=False,
                         schedule_sampling_prob=ss_prob,
                         collect_aux=collect_aux, rngs=rngs,
-                        mutable=["batch_stats"])
+                        mutable=["batch_stats"],
+                        compute_logits=not fused_xent)
                 else:
                     outputs = model.apply(
                         variables, batch, deterministic=False,
                         schedule_sampling_prob=ss_prob,
-                        collect_aux=collect_aux, rngs=rngs)
+                        collect_aux=collect_aux, rngs=rngs,
+                        compute_logits=not fused_xent)
                     mutated = {}
 
                 def project_fn(feats, flag):
@@ -245,6 +259,9 @@ class Trainer:
                                        method=Captioner.project_attribute)
 
                 results = {**outputs, **batch}
+                if fused_xent and "logits" not in outputs:
+                    results["cls_head_kernel"] = \
+                        p["cls_head"]["tgt_word_prj"]["kernel"]
                 total, losses, metrics = criterion(results, project_fn)
                 return total, (losses, metrics, mutated)
 
