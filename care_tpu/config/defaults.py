@@ -242,6 +242,19 @@ _DEFAULTS = {
     "decode_head_f32": False,        # bf16 decode: keep the vocab
                                      # projection f32 (measured: no beam
                                      # picks change, ~4% slower)
+    "fused_head_topk": True,         # serving: stream the vocab projection
+                                     # into the beam top-k (logits never in
+                                     # HBM; ops/fused_head_topk.py) where
+                                     # statically valid
+    "fused_head_chunk": 2048,        # vocab chunk width of the fused head
+    "fused_xent": True,              # training: chunked fused softmax-CE
+                                     # statistics (ops/fused_xent.py) where
+                                     # statically valid
+    "fused_xent_chunk": 2048,
+    "device_feature_cache": True,    # upload per-video feature tables to
+                                     # HBM once; batches ship only indices
+                                     # (data/feature_bank.py)
+    "feature_cache_dtype": None,     # 'bfloat16' halves cache residency
 }
 
 
