@@ -52,19 +52,36 @@ def make_generate_fn(forward_logits: Callable, pad_mask, eos_mask):
     return generate
 
 
+def make_generate_fn_from_stats(forward_stats: Callable, pad_mask,
+                                eos_mask):
+    """Like :func:`make_generate_fn` but from a fused statistics forward
+    ``tokens -> (argmax_ids, max_probs)`` (ops/fused_head_topk.py
+    ``vocab_argmax_lse``): the ``[N, L, V]`` logits/probs never
+    materialise."""
+    def generate(tgt_tokens):
+        toks, probs = forward_stats(tgt_tokens)
+        return _apply_pad_semantics(toks.astype(jnp.int32), probs,
+                                    pad_mask, eos_mask)
+    return generate
+
+
 def mask_predict(
     tgt_tokens,                    # [N, L] canvas of MASK/PAD
     forward_logits: Callable,      # tokens -> logits [N, L, V]
     iterations: int = 5,
     use_ct: bool = False,
     teacher_score: Optional[Callable] = None,  # (tokens, is_last) -> probs
+    forward_stats: Optional[Callable] = None,  # tokens -> (ids, max_probs)
 ):
     """MaskPredict (reference ``na_algorithms.py:146-197``); optional
     coarse-grained-template first pass replacing MASK with <vis>."""
     pad_mask = tgt_tokens == constants.PAD
     eos_mask = tgt_tokens == constants.EOS
     seq_lens = tgt_tokens.shape[1] - pad_mask.sum(axis=1)
-    generate = make_generate_fn(forward_logits, pad_mask, eos_mask)
+    generate = (make_generate_fn_from_stats(forward_stats, pad_mask,
+                                            eos_mask)
+                if forward_stats is not None
+                else make_generate_fn(forward_logits, pad_mask, eos_mask))
 
     if teacher_score is None:
         teacher_score = lambda tokens, is_last: jnp.ones_like(
@@ -104,13 +121,17 @@ def mask_predict(
 
 
 def left2right(tgt_tokens, forward_logits, q: int = 1, q_iterations: int = 1,
-               use_ct: bool = False, teacher_score=None):
+               use_ct: bool = False, teacher_score=None,
+               forward_stats=None):
     """Left-to-right uncovering (reference ``na_algorithms.py:200-263``)."""
     pad_mask = tgt_tokens == constants.PAD
     eos_mask = tgt_tokens == constants.EOS
     seq_len = tgt_tokens.shape[1]
     seq_lens = seq_len - pad_mask.sum(axis=1)
-    generate = make_generate_fn(forward_logits, pad_mask, eos_mask)
+    generate = (make_generate_fn_from_stats(forward_stats, pad_mask,
+                                            eos_mask)
+                if forward_stats is not None
+                else make_generate_fn(forward_logits, pad_mask, eos_mask))
     if teacher_score is None:
         teacher_score = lambda tokens, is_last: jnp.ones_like(
             tokens, dtype=jnp.float32)
@@ -155,7 +176,8 @@ def left2right(tgt_tokens, forward_logits, q: int = 1, q_iterations: int = 1,
 
 
 def easy_first(tgt_tokens, forward_logits, q: int = 1, q_iterations: int = 1,
-               use_ct: bool = False, teacher_score=None):
+               use_ct: bool = False, teacher_score=None,
+               forward_stats=None):
     """Most-confident-first uncovering (reference ``na_algorithms.py:266-329``).
 
     The reference loops until no MASK remains; the maximum number of rounds
@@ -166,7 +188,10 @@ def easy_first(tgt_tokens, forward_logits, q: int = 1, q_iterations: int = 1,
     eos_mask = tgt_tokens == constants.EOS
     seq_len = tgt_tokens.shape[1]
     seq_lens = seq_len - pad_mask.sum(axis=1)
-    generate = make_generate_fn(forward_logits, pad_mask, eos_mask)
+    generate = (make_generate_fn_from_stats(forward_stats, pad_mask,
+                                            eos_mask)
+                if forward_stats is not None
+                else make_generate_fn(forward_logits, pad_mask, eos_mask))
     if teacher_score is None:
         teacher_score = lambda tokens, is_last: jnp.ones_like(
             tokens, dtype=jnp.float32)

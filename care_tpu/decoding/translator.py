@@ -57,6 +57,20 @@ def _cast_variables(variables, compute_dtype, keep_head_f32: bool):
     return out
 
 
+def _naive_head_kernel(variables):
+    """The bias-free NaiveHead projection kernel [H, V], or None when the
+    variables carry any other head structure (MLPHead has a pre-dense +
+    bias) — the static eligibility check of the fused head paths."""
+    try:
+        ch = variables["params"]["cls_head"]
+        if (set(ch.keys()) == {"tgt_word_prj"}
+                and set(ch["tgt_word_prj"].keys()) == {"kernel"}):
+            return ch["tgt_word_prj"]["kernel"]
+    except Exception:
+        pass
+    return None
+
+
 def _vm_fingerprint(vm):
     """Cache-key component for a vocab-mapping array: the mapping is baked
     into the compiled closure, so two different mappings must never share a
@@ -519,6 +533,39 @@ class TranslatorNARFormer(Translator):
                 # half-precision decode
                 return logits.astype(jnp.float32)
 
+            # fused statistics forward (ops/fused_head_topk.py
+            # vocab_argmax_lse): the NAR loop only consumes (argmax, its
+            # softmax prob), so the [N*lbs, L, V] logits/probs need never
+            # materialise.  Structural fallback: pointer configs come back
+            # with "logits" and take the dense path.
+            forward_stats = None
+            if (opt.get("fused_head_topk", True)
+                    and opt.get("cls_head") == "NaiveHead"
+                    and not opt.get("pointer")):
+                from care_tpu.ops.fused_head_topk import vocab_argmax_lse
+                head_W = variables["params"]["cls_head"]["tgt_word_prj"][
+                    "kernel"]
+                chunk = int(opt.get("fused_head_chunk", 2048))
+
+                def forward_stats(tokens):
+                    out = model_obj.apply(
+                        variables, tokens, inputs,
+                        method=Captioner.decoding_phase,
+                        collect_aux=False, compute_logits=False)
+                    if "logits" in out:          # static fallback
+                        logits = out["logits"]
+                        if isinstance(logits, list):
+                            logits = logits[-1]
+                        toks, probs, _ = nar.generate_step_with_prob(
+                            logits.astype(jnp.float32))
+                        return toks, probs
+                    hs = out["hidden_states"]
+                    if isinstance(hs, list):
+                        hs = hs[-1]
+                    idx, mx, lse = vocab_argmax_lse(hs, head_W, None,
+                                                    chunk_size=chunk)
+                    return idx, jnp.exp(mx - lse)
+
             teacher_score = None
             if teacher_obj is not None:
                 t_enc = teacher_obj.apply(teacher_variables, feats,
@@ -541,13 +588,36 @@ class TranslatorNARFormer(Translator):
                     with_bos = jnp.concatenate(
                         [jnp.full((toks.shape[0], 1), constants.BOS,
                                   toks.dtype), toks], axis=1)
-                    out = teacher_obj.apply(
-                        teacher_variables, with_bos[:, :-1], t_inputs,
-                        method=Captioner.decoding_phase, collect_aux=False)
-                    probs = jax.nn.softmax(
-                        out["logits"].astype(jnp.float32), axis=-1)
-                    p = jnp.take_along_axis(probs, toks[:, :, None],
-                                            axis=2)[:, :, 0]
+                    t_kernel = _naive_head_kernel(teacher_variables)
+                    if (opt.get("fused_head_topk", True)
+                            and t_kernel is not None):
+                        # fused: per-token prob = exp(tok_logit - lse)
+                        # without the [N, L, V] softmax
+                        out = teacher_obj.apply(
+                            teacher_variables, with_bos[:, :-1], t_inputs,
+                            method=Captioner.decoding_phase,
+                            collect_aux=False, compute_logits=False)
+                    else:
+                        out = teacher_obj.apply(
+                            teacher_variables, with_bos[:, :-1], t_inputs,
+                            method=Captioner.decoding_phase,
+                            collect_aux=False)
+                    if "logits" not in out:
+                        from care_tpu.ops.fused_head_topk import \
+                            vocab_argmax_lse
+                        hs = out["hidden_states"]
+                        if isinstance(hs, list):
+                            hs = hs[-1]
+                        _, _, lse, tokl = vocab_argmax_lse(
+                            hs, t_kernel, None, token_ids=toks,
+                            chunk_size=int(opt.get("fused_head_chunk",
+                                                   2048)))
+                        p = jnp.exp(tokl - lse)
+                    else:
+                        probs = jax.nn.softmax(
+                            out["logits"].astype(jnp.float32), axis=-1)
+                        p = jnp.take_along_axis(probs, toks[:, :, None],
+                                                axis=2)[:, :, 0]
                     p = jnp.where(pad_mask, 1.0, p)
                     if not is_last:
                         p = jnp.where(eos_mask, 1.0, p)
@@ -563,7 +633,7 @@ class TranslatorNARFormer(Translator):
                                    use_ct=opt.get("use_ct", False))
             hypotheses, lprobs = nar.ALGORITHMS[paradigm](
                 canvas, forward_logits, teacher_score=teacher_score,
-                **algo_kwargs)
+                forward_stats=forward_stats, **algo_kwargs)
 
             hypotheses = hypotheses.reshape(N, lbs, max_len)
             lprobs = lprobs.reshape(N, lbs, max_len)

@@ -216,8 +216,10 @@ class Captioner(nn.Module):
         hidden_states = outputs["hidden_states"]
 
         if (not compute_logits and not last_time_step_logits
-                and not isinstance(hidden_states, list)
                 and self.pointer is None):
+            # callers passing compute_logits=False consume hidden_states
+            # directly (possibly a list — they take the last entry, like
+            # the logits-list convention below)
             return outputs
 
         if last_time_step_logits:

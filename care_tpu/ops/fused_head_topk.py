@@ -255,6 +255,63 @@ def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
 # public entry
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048):
+    """Chunked (argmax, max-logit, logsumexp[, token-logit]) of
+    ``h @ W + b`` over the vocab axis — the NAR decode loop's needs
+    (argmax token + its softmax prob = ``exp(max - lse)``; teacher
+    rescoring's per-token prob = ``exp(tok - lse)``) without ever
+    materialising ``[..., V]`` logits/probs in HBM (reference
+    counterpart: ``misc/Decoding/na_algorithms.py:6-14`` which builds
+    the full softmax).  Serving-only (no VJP).
+
+    h: [..., H]; W: [H, V]; b: [V] or None; token_ids: [...] int or
+    None.  Returns (argmax [..., int32], max_logit, lse[, tok_logit]).
+    Argmax ties resolve lowest-index-first like ``jnp.argmax``.
+    """
+    lead = h.shape[:-1]
+    H = h.shape[-1]
+    V = W.shape[1]
+    hf = h.reshape(-1, H)
+    rows = hf.shape[0]
+    tf = token_ids.reshape(-1) if token_ids is not None else None
+    Wp, bp, C = _pad_wb(W, b, h.dtype, chunk_size)
+    Wc = Wp.reshape(H, C, chunk_size).transpose(1, 0, 2)
+    bc = bp.reshape(C, chunk_size)
+
+    def body(carry, wb):
+        m, s, av, ai, tok, c = carry
+        w, bias = wb
+        logits = (hf @ w + bias[None, :]).astype(jnp.float32)
+        ids = c * chunk_size + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        mc = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m, mc)
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new[:, None]), axis=-1)
+        ci = jnp.argmax(logits, axis=-1)
+        better = mc > av                     # strict: lowest index wins ties
+        av = jnp.where(better, mc, av)
+        ai = jnp.where(better, c * chunk_size + ci, ai)
+        if tf is not None:
+            tok = tok + jnp.sum(
+                jnp.where(ids == tf[:, None], logits, 0.0), axis=-1)
+        return (m_new, s, av, ai, tok, c + 1), None
+
+    init = (jnp.full((rows,), -jnp.inf, jnp.float32),
+            jnp.zeros((rows,), jnp.float32),
+            jnp.full((rows,), -jnp.inf, jnp.float32),
+            jnp.zeros((rows,), jnp.int32),
+            jnp.zeros((rows,), jnp.float32),
+            jnp.asarray(0, jnp.int32))
+    (m, s, av, ai, tok, _), _ = jax.lax.scan(body, init, (Wc, bc))
+    lse = (m + jnp.log(s)).reshape(lead)
+    out = (ai.reshape(lead), av.reshape(lead), lse)
+    if token_ids is not None:
+        out = out + (tok.reshape(lead),)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("beam_k", "chunk_size",
                                              "backend", "block_rows",
                                              "interpret"))

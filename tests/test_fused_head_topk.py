@@ -105,6 +105,61 @@ def test_bf16_inputs_f32_softmax_boundary():
                                rtol=0, atol=1e-4)
 
 
+def test_vocab_argmax_lse_matches_dense():
+    from care_tpu.ops.fused_head_topk import vocab_argmax_lse
+    rng = np.random.RandomState(5)
+    B, L, H, V = 2, 6, 16, 333
+    h = jnp.asarray(rng.randn(B, L, H), jnp.float32)
+    W = jnp.asarray(rng.randn(H, V) * 0.2, jnp.float32)
+    toks = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
+
+    logits = (h @ W).astype(jnp.float32)
+    idx, mx, lse, tokl = vocab_argmax_lse(h, W, None, token_ids=toks,
+                                          chunk_size=128)
+    np.testing.assert_array_equal(idx, logits.argmax(-1))
+    np.testing.assert_allclose(mx, logits.max(-1), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(
+        lse, jax.scipy.special.logsumexp(logits, axis=-1), atol=1e-5,
+        rtol=0)
+    np.testing.assert_allclose(
+        tokl, jnp.take_along_axis(logits, toks[..., None], -1)[..., 0],
+        atol=1e-5, rtol=0)
+    # 3-tuple form without token_ids
+    out3 = vocab_argmax_lse(h, W, None, chunk_size=128)
+    assert len(out3) == 3
+
+
+def test_nar_fused_stats_decode_equals_dense():
+    """NAR translate with the fused statistics forward == the dense
+    logits path: token-identical hypotheses, lprobs to softmax-order
+    noise. Covers student argmax/probs AND teacher per-token rescoring."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_opt, tiny_model_and_batch
+    from care_tpu.decoding import get_translator
+
+    base = tiny_opt(method="NAB", vocab_size=40)
+    base["masking_decision"] = True      # exercises teacher_score
+    model, variables, _ = tiny_model_and_batch(base, batch_size=3)
+    batch = {"feats": tiny_model_and_batch(base, batch_size=3, seed=2)[2][
+        "feats"]}
+    models = [(model, variables)]
+    teacher = (model, variables)
+
+    outs = {}
+    for fused in (False, True):
+        opt = dict(base)
+        opt["fused_head_topk"] = fused
+        tr = get_translator(opt)
+        outs[fused] = tr.translate_batch(models, batch, teacher=teacher)
+    hyp_d, lp_d = outs[False]
+    hyp_f, lp_f = outs[True]
+    assert hyp_f == hyp_d
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_d),
+                               atol=1e-5, rtol=0)
+
+
 def test_grad_free_shapes_and_v_not_multiple_of_chunk():
     got_v, got_i = fused_head_beam_topk(
         jnp.ones((4, 8)), jnp.ones((8, 130)), None,
