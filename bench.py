@@ -995,14 +995,18 @@ def main():
         pass
 
 
-def _tpu_reachable(attempts=3, probe_timeout=180):
+def _tpu_reachable(attempts=3, probe_timeout=240):
     """Return None if the default (TPU) backend initializes, else an error.
 
     Probes in a SUBPROCESS with a hard timeout: with the axon tunnel down,
     in-process backend init hangs indefinitely (round-4 driver artifacts:
     BENCH_r04.json rc=1, MULTICHIP_r04.json rc=124) and a hung C call
-    cannot be interrupted from Python.  Retries with backoff in case the
-    tunnel is briefly re-leasing.
+    cannot be interrupted from Python.  The probe child deliberately
+    KEEPS ``PALLAS_AXON_POOL_IPS`` (it must register a tunnel session to
+    probe it); it runs BEFORE this process initializes its own backend,
+    so the parent holds no lease to queue behind — the generous timeout
+    plus 3 backed-off attempts (~13 min worst case) covers a stale lease
+    from an earlier crashed process draining.
     """
     import subprocess
     code = ("import jax; d = jax.devices(); "

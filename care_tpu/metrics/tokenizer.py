@@ -29,7 +29,7 @@ Known deviations from the jar (documented, not silently different):
 ``americanize`` (British→US respelling) is not applied, and
 sentence-final dotted-abbreviation period duplication is not modelled.
 Both are exercised by no caption vocabulary in the reference datasets.
-The golden corpus ``tests/goldens/ptb_tokenizer_golden.json`` locks >100
+The golden corpus ``tests/golden/ptb_tokenizer_golden.json`` locks >100
 cases derived from the PTBLexer spec.
 """
 

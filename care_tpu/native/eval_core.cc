@@ -105,10 +105,13 @@ int32_t meteor_align(const int32_t* hyp_exact, const int32_t* hyp_stem,
         next.push_back(std::move(q));
       }
     }
-    std::sort(next.begin(), next.end(),
-              [](const Partial& a, const Partial& b) {
-                return a.better_than(b);
-              });
+    // stable: partials tying on (matches, chunks, dist) must keep
+    // insertion order exactly like the python aligner's list.sort, or the
+    // two implementations pick different winners at the beam cutoff
+    std::stable_sort(next.begin(), next.end(),
+                     [](const Partial& a, const Partial& b) {
+                       return a.better_than(b);
+                     });
     if (static_cast<int>(next.size()) > kBeam) next.resize(kBeam);
     std::swap(beams, next);
   }

@@ -191,13 +191,19 @@ def _fused_kernel(h_ref, w_ref, b_ref, mv_ref, sv_ref, cv_ref, ci_ref,
 
 def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
     rows, H = h.shape
-    dtype = h.dtype
+    # the unfused Dense computes in the PROMOTED dtype (bf16 h with an
+    # f32 kernel — the decode_head_f32 serving flag — promotes to f32, no
+    # rounding); mirror that exactly, and feed the kernel same-dtype
+    # operands so mosaic sees a clean dot
+    dtype = jnp.promote_types(h.dtype, W.dtype)
+    h = h.astype(dtype)
+    W = W.astype(dtype)
     W, bpad, C = _pad_wb(W, b, dtype, chunk_size)
     rows_pad = -(-rows // block_rows) * block_rows
     if rows_pad != rows:
         h = jnp.pad(h, ((0, rows_pad - rows), (0, 0)))
     cand_pad = max(beam_k, 128)   # lane-aligned candidate blocks
-    # round-to-input-dtype only when the unfused matmul would (bf16 in)
+    # round-to-compute-dtype only when the unfused matmul would (bf16 in)
     round_dtype = dtype if dtype != jnp.float32 else None
 
     kernel = functools.partial(
@@ -337,8 +343,14 @@ def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
     assert rows == N * Kb, (rows, N, Kb)
 
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() not in ("cpu",)
-                   else "xla")
+        # resolve from the EFFECTIVE compute platform: a session can hold
+        # a live TPU backend while computations are pinned to CPU via
+        # jax_default_device (the conftest pattern) — default_backend()
+        # alone would misroute those to a TPU-only pallas lowering
+        dev = jax.config.jax_default_device
+        platform = (getattr(dev, "platform", None) if dev is not None
+                    else jax.default_backend())
+        backend = "pallas" if platform not in ("cpu",) else "xla"
     if backend == "pallas":
         cv, ids, m, s = _stats_pallas(h, W, b, beam_k, chunk_size,
                                       block_rows, interpret)

@@ -29,18 +29,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from care_tpu.ops.fused_head_topk import _pad_wb as _pad_wb_typed
+
 
 def _pad_wb(W, b, chunk_size):
-    H, V = W.shape
-    C = -(-V // chunk_size)
-    pad = C * chunk_size - V
-    if b is None:
-        b = jnp.zeros((V,), W.dtype)
-    if pad:
-        W = jnp.pad(W, ((0, 0), (0, pad)))
-        # -1e30: underflows exp() to exactly 0, never wins max/argmax
-        b = jnp.pad(b, (0, pad), constant_values=-1e30)
-    return W, b, C
+    """Shared vocab padding (ops/fused_head_topk.py): pad columns carry a
+    -1e30 bias that underflows exp() to exactly 0 and never wins
+    max/argmax."""
+    return _pad_wb_typed(W, b, W.dtype, chunk_size)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

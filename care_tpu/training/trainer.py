@@ -141,6 +141,17 @@ class Trainer:
             b["feats"] = bank.lookup(batch["video_ids"],
                                      batch.get("frame_ids"))
             return b
+        if bank is not None and "feats" not in batch:
+            # skip_feats stripped the host feats but the bank cannot serve
+            # this batch: fail loudly here instead of a KeyError deep in
+            # model.apply (build-time coverage checks make this unreachable
+            # for consistent datasets)
+            missing = [v for v in batch.get("video_ids", [])
+                       if v not in bank.vid_to_row]
+            raise RuntimeError(
+                "device feature bank cannot serve batch (uncovered "
+                f"video_ids {missing[:5]}...) and host feats were "
+                "skipped — set opt['device_feature_cache']=False")
         b = device_batch(batch)
         if self.mesh is not None:
             from care_tpu.parallel import shard_batch
@@ -180,6 +191,14 @@ class Trainer:
             r.set_state(st)
         if probe.get("video_ids") not in bank.vid_to_row:
             return
+        # full-coverage check where the sample list is enumerable (the
+        # JointDataset infoset): skip_feats must never strip feats from a
+        # batch the bank cannot serve
+        infoset = getattr(dataset, "infoset", None)
+        if infoset is not None:
+            vids = {e.get("vid") for e in infoset}
+            if not all(v in bank.vid_to_row for v in vids):
+                return
         self._feature_bank = bank
         dataset.skip_feats = True
         print(f"- device feature cache: {bank.describe()}")
