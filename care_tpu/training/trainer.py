@@ -158,6 +158,28 @@ class Trainer:
             b = shard_batch(b, self.mesh)
         return b
 
+    def _maybe_val_bank(self, loader):
+        """Feature bank for an eval loader's dataset (built lazily, cached
+        per dataset id).  Unlike the train bank this never sets
+        ``skip_feats`` — host feats remain as the trivial fallback."""
+        if not self.opt.get("device_feature_cache", True) \
+                or self.mesh is not None:
+            return None
+        ds = getattr(loader, "dataset", None)
+        if ds is None:
+            return None
+        cache = getattr(self, "_val_banks", None)
+        if cache is None:
+            cache = self._val_banks = {}
+        key = id(ds)
+        if key not in cache:
+            from care_tpu.data.feature_bank import build_feature_bank
+            cache[key] = (build_feature_bank(ds, self.opt), ds)
+            if cache[key][0] is not None:
+                print("- validation feature cache: "
+                      f"{cache[key][0].describe()}")
+        return cache[key][0]
+
     def _maybe_build_feature_bank(self):
         """Device-resident feature cache (data/feature_bank.py): features
         are static per video, so ship each modality's full table ONCE and
@@ -629,10 +651,25 @@ class Trainer:
             pass
         models = [(self.model, self.variables)]
         tkw = self._teacher_kwargs()
+        val_bank = self._maybe_val_bank(loader)
+
+        def to_device(b):
+            # validation feature bank: the val set's static features also
+            # upload once — every epoch's validation decode then ships
+            # only indices.  The dataset keeps loading host feats (no
+            # skip_feats), so any uncovered batch falls back trivially.
+            if (val_bank is not None and "video_ids" in b
+                    and "feats" in b and val_bank.covers(b["video_ids"])):
+                db = device_batch({k: v for k, v in b.items()
+                                   if k != "feats"})
+                db["feats"] = val_bank.lookup(b["video_ids"],
+                                              b.get("frame_ids"))
+                return db
+            return device_batch(b)
 
         def tagged():
             for b in loader:
-                db = device_batch(b)
+                db = to_device(b)
                 yield (b, db), db
 
         if fused_k > 1 and hasattr(self.translator,
@@ -649,7 +686,7 @@ class Trainer:
             def device_batches():
                 for b in loader:
                     originals.append(b)
-                    yield device_batch(b)
+                    yield to_device(b)
 
             stream = (((originals[i], db), out) for i, (db, out) in
                       enumerate(self.translator.translate_batches(

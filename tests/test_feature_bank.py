@@ -52,6 +52,32 @@ def test_train_with_bank_reproduces_loss_trajectory(tmp_path):
     np.testing.assert_allclose(bank, ship, rtol=0, atol=0)
 
 
+def test_validation_with_bank_reproduces_scores(tmp_path):
+    """validate() with the val-side bank == without: identical COCO
+    scores (bank gather is bit-equal to host-shipped feats)."""
+    def run(cache: bool):
+        opt, corpus, refs = make_synthetic_env(
+            tmp_path / ("vb" if cache else "vd"))
+        opt["device_feature_cache"] = cache
+        trainer = Trainer(opt, train_loader=get_loader(opt, "train"),
+                          val_loader=get_loader(opt, "validate",
+                                                is_validation=True,
+                                                not_shuffle=True),
+                          references=refs, vocab=corpus["info"]["itow"])
+        trainer.init_model(next(iter(trainer.train_loader)))
+        trainer._build_tx(1)
+        scores = trainer.validate(0)
+        if cache:
+            banks = [b for b, _ in trainer._val_banks.values()]
+            assert any(b is not None for b in banks)
+        return scores
+
+    dense = run(False)
+    bank = run(True)
+    for k in ("Bleu_4", "CIDEr", "ROUGE_L", "METEOR"):
+        assert dense[k] == bank[k], (k, dense[k], bank[k])
+
+
 def test_bank_unsupported_configs_fall_back(tmp_path):
     opt, corpus, refs = make_synthetic_env(tmp_path)
     loader = get_loader(opt, "train")
