@@ -206,6 +206,26 @@ def main():
 
     opt = _flagship_opt()
     opt["beam_size"] = BEAM
+
+    # probe the fused-head pallas kernel on THIS chip before it is baked
+    # into every decode program: if mosaic rejects it, fall back to the
+    # round-4 path for the whole run instead of failing the bench into
+    # the stale-replay branch
+    fused_head_pallas_ok = None
+    try:
+        from care_tpu.ops.fused_head_topk import fused_head_beam_topk
+        _p = fused_head_beam_topk(
+            jnp.ones((4, 128)), jnp.ones((128, 256)), None,
+            jnp.zeros((2, 2)), jnp.zeros((2, 2), bool), 2,
+            chunk_size=128, backend="pallas", block_rows=8)
+        np.asarray(_p[0])
+        fused_head_pallas_ok = True
+    except Exception as e:
+        fused_head_pallas_ok = False
+        opt["fused_head_topk"] = False
+        print(f"- fused-head pallas probe failed, decoding unfused: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     model = build_captioner(opt)
     batch = _synthetic_batch(opt, batch_size=BATCH)
     rng = jax.random.PRNGKey(0)
@@ -960,6 +980,7 @@ def main():
                                          if fused_time else None),
             "ragged_serving": ragged_detail,
             "unfused_head_ab": nofuse_detail,
+            "fused_head_pallas_ok": fused_head_pallas_ok,
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
             "h2d_bandwidth_MBps": round(h2d_mbps, 1),
             "bf16_serving": bf16_detail,

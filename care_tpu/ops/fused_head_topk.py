@@ -156,30 +156,39 @@ def _fused_kernel(h_ref, w_ref, b_ref, mv_ref, sv_ref, cv_ref, ci_ref,
                 + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
     m_scr[:] = m_new
 
-    # merge the chunk into the running top-K.  Candidate order [running |
-    # chunk]: running entries came from earlier chunks (lower global ids,
-    # stored rank-major), so first-occurrence max-picking preserves
-    # lax.top_k's lowest-global-index tie order.  Reduction-only (no
-    # per-row gathers): the picked slot is located by (value == max) &
-    # (position == argmax), its id extracted by a masked sum.
-    bm = logits.shape[0]
-    cand_v = jnp.concatenate([v_scr[:, :beam_k], logits], axis=1)
-    chunk_ids = (c * chunk_size
-                 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1))
-    cand_i = jnp.concatenate([i_scr[:, :beam_k], chunk_ids], axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, cand_v.shape, 1)
-    new_v, new_i = [], []
+    # merge the chunk into the running top-K without any lane-dim concat
+    # (mosaic dislikes non-128-aligned concats): each of the K picks
+    # compares the running list's max against the chunk's max, prefers
+    # the RUNNING side on ties (earlier chunks = lower global ids, stored
+    # rank-major — preserving lax.top_k's lowest-index tie order), and
+    # extracts the winner's id by a masked sum.  Reduction-only: no
+    # per-row gathers.
+    run_v = v_scr[:, :cand_pad]                       # whole scratch block
+    run_i = i_scr[:, :cand_pad]
+    ch_v = logits
+    ch_i = (c * chunk_size
+            + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1))
+    pos_r = jax.lax.broadcasted_iota(jnp.int32, run_v.shape, 1)
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, ch_v.shape, 1)
+    picked_v, picked_i = [], []
     for _ in range(beam_k):
-        vmax = jnp.max(cand_v, axis=-1, keepdims=True)   # [bm, 1]
-        first = jnp.argmax(cand_v == vmax, axis=-1)[:, None]
-        picked = pos == first
-        gid = jnp.sum(jnp.where(picked, cand_i, 0), axis=-1, keepdims=True)
-        new_v.append(vmax)
-        new_i.append(gid)
-        cand_v = jnp.where(picked, _RUN_INIT, cand_v)
-    pad = jnp.zeros((bm, cand_pad - beam_k), jnp.float32)
-    v_scr[:] = jnp.concatenate(new_v + [pad + _RUN_INIT], axis=1)
-    i_scr[:] = jnp.concatenate(new_i + [pad.astype(jnp.int32)], axis=1)
+        rmax = jnp.max(run_v, axis=-1, keepdims=True)
+        cmax = jnp.max(ch_v, axis=-1, keepdims=True)
+        r_pick = pos_r == jnp.argmax(run_v == rmax, axis=-1)[:, None]
+        c_pick = pos_c == jnp.argmax(ch_v == cmax, axis=-1)[:, None]
+        r_id = jnp.sum(jnp.where(r_pick, run_i, 0), axis=-1,
+                       keepdims=True)
+        c_id = jnp.sum(jnp.where(c_pick, ch_i, 0), axis=-1,
+                       keepdims=True)
+        from_run = rmax >= cmax
+        picked_v.append(jnp.where(from_run, rmax, cmax))
+        picked_i.append(jnp.where(from_run, r_id, c_id))
+        run_v = jnp.where(from_run & r_pick, _RUN_INIT, run_v)
+        ch_v = jnp.where(jnp.logical_not(from_run) & c_pick, _RUN_INIT,
+                         ch_v)
+    for t in range(beam_k):
+        v_scr[:, t:t + 1] = picked_v[t]
+        i_scr[:, t:t + 1] = picked_i[t]
 
     @pl.when(c == num_c - 1)
     def _out():
