@@ -270,8 +270,117 @@ def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
 # public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("chunk_size",))
-def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048):
+def _argmax_lse_kernel(h_ref, w_ref, b_ref, t_ref, ai_ref, av_ref,
+                       lse_ref, tok_ref,
+                       m_scr, s_scr, av_scr, ai_scr, tok_scr,
+                       *, chunk_size: int, has_tokens: bool, round_dtype):
+    c = pl.program_id(1)
+    num_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        av_scr[:] = jnp.full_like(av_scr, -jnp.inf)
+        ai_scr[:] = jnp.zeros_like(ai_scr)
+        tok_scr[:] = jnp.zeros_like(tok_scr)
+
+    h = h_ref[:]
+    w = w_ref[:]
+    logits = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if round_dtype is not None:
+        logits = logits.astype(round_dtype)
+    logits = (logits + b_ref[:]).astype(jnp.float32)
+    ids = (c * chunk_size
+           + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1))
+
+    m_prev = m_scr[:]
+    mc = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, mc)
+    s_scr[:] = (s_scr[:] * jnp.exp(m_prev - m_new)
+                + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
+    m_scr[:] = m_new
+
+    ci = jnp.argmax(logits, axis=-1)[:, None]
+    better = mc > av_scr[:]           # strict: lowest index keeps ties
+    av_scr[:] = jnp.where(better, mc, av_scr[:])
+    ai_scr[:] = jnp.where(better, c * chunk_size + ci, ai_scr[:])
+    if has_tokens:
+        tok_scr[:] = tok_scr[:] + jnp.sum(
+            jnp.where(ids == t_ref[:], logits, 0.0), axis=-1,
+            keepdims=True)
+
+    @pl.when(c == num_c - 1)
+    def _out():
+        ai_ref[:] = ai_scr[:]
+        av_ref[:] = av_scr[:]
+        lse_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+        tok_ref[:] = tok_scr[:]
+
+
+def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
+    rows, H = hf.shape
+    dtype = jnp.promote_types(hf.dtype, W.dtype)
+    hf = hf.astype(dtype)
+    Wp, bp, C = _pad_wb(W.astype(dtype), b, dtype, chunk_size)
+    rows_pad = -(-rows // block_rows) * block_rows
+    if rows_pad != rows:
+        hf = jnp.pad(hf, ((0, rows_pad - rows), (0, 0)))
+    has_tokens = tf is not None
+    tcol = (jnp.pad(tf, (0, rows_pad - rows))[:, None].astype(jnp.int32)
+            if has_tokens else jnp.zeros((rows_pad, 1), jnp.int32))
+    round_dtype = dtype if dtype != jnp.float32 else None
+
+    kernel = functools.partial(
+        _argmax_lse_kernel, chunk_size=chunk_size, has_tokens=has_tokens,
+        round_dtype=round_dtype)
+    grid = (rows_pad // block_rows, C)
+    col = lambda i, c: (i, 0)
+    ai, av, lse, tok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((block_rows, H), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, chunk_size), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk_size), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((block_rows, 1), col,
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_rows, 1), jnp.float32),
+                        pltpu.VMEM((block_rows, 1), jnp.float32),
+                        pltpu.VMEM((block_rows, 1), jnp.float32),
+                        pltpu.VMEM((block_rows, 1), jnp.int32),
+                        pltpu.VMEM((block_rows, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * H * Wp.shape[1],
+            bytes_accessed=Wp.size * Wp.dtype.itemsize
+            + hf.size * hf.dtype.itemsize,
+            transcendentals=rows_pad * Wp.shape[1],
+        ),
+    )(hf, Wp, bp[None, :].astype(jnp.float32), tcol)
+    out = (ai[:rows, 0], av[:rows, 0], lse[:rows, 0])
+    if has_tokens:
+        out = out + (tok[:rows, 0],)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "backend",
+                                             "block_rows", "interpret"))
+def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048,
+                     backend: str = "auto", block_rows: int = 256,
+                     interpret: bool = False):
     """Chunked (argmax, max-logit, logsumexp[, token-logit]) of
     ``h @ W + b`` over the vocab axis — the NAR decode loop's needs
     (argmax token + its softmax prob = ``exp(max - lse)``; teacher
@@ -290,6 +399,17 @@ def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048):
     hf = h.reshape(-1, H)
     rows = hf.shape[0]
     tf = token_ids.reshape(-1) if token_ids is not None else None
+
+    if backend == "auto":
+        dev = jax.config.jax_default_device
+        platform = (getattr(dev, "platform", None) if dev is not None
+                    else jax.default_backend())
+        backend = "pallas" if platform not in ("cpu",) else "xla"
+    if backend == "pallas":
+        out = _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows,
+                                 interpret)
+        return tuple(o.reshape(lead) for o in out)
+
     Wp, bp, C = _pad_wb(W, b, h.dtype, chunk_size)
     Wc = Wp.reshape(H, C, chunk_size).transpose(1, 0, 2)
     bc = bp.reshape(C, chunk_size)

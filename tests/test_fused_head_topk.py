@@ -105,17 +105,19 @@ def test_bf16_inputs_f32_softmax_boundary():
                                rtol=0, atol=1e-4)
 
 
-def test_vocab_argmax_lse_matches_dense():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_vocab_argmax_lse_matches_dense(backend):
     from care_tpu.ops.fused_head_topk import vocab_argmax_lse
     rng = np.random.RandomState(5)
     B, L, H, V = 2, 6, 16, 333
     h = jnp.asarray(rng.randn(B, L, H), jnp.float32)
     W = jnp.asarray(rng.randn(H, V) * 0.2, jnp.float32)
     toks = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
+    kw = dict(chunk_size=128, backend=backend, block_rows=8,
+              interpret=backend == "pallas")
 
     logits = (h @ W).astype(jnp.float32)
-    idx, mx, lse, tokl = vocab_argmax_lse(h, W, None, token_ids=toks,
-                                          chunk_size=128)
+    idx, mx, lse, tokl = vocab_argmax_lse(h, W, None, token_ids=toks, **kw)
     np.testing.assert_array_equal(idx, logits.argmax(-1))
     np.testing.assert_allclose(mx, logits.max(-1), atol=1e-5, rtol=0)
     np.testing.assert_allclose(
@@ -125,8 +127,9 @@ def test_vocab_argmax_lse_matches_dense():
         tokl, jnp.take_along_axis(logits, toks[..., None], -1)[..., 0],
         atol=1e-5, rtol=0)
     # 3-tuple form without token_ids
-    out3 = vocab_argmax_lse(h, W, None, chunk_size=128)
+    out3 = vocab_argmax_lse(h, W, None, **kw)
     assert len(out3) == 3
+    np.testing.assert_array_equal(out3[0], idx)
 
 
 def test_nar_fused_stats_decode_equals_dense():
