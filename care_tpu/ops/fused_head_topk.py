@@ -271,9 +271,10 @@ def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
 # ---------------------------------------------------------------------------
 
 def _argmax_lse_kernel(h_ref, w_ref, b_ref, t_ref, ai_ref, av_ref,
-                       lse_ref, tok_ref,
-                       m_scr, s_scr, av_scr, ai_scr, tok_scr,
-                       *, chunk_size: int, has_tokens: bool, round_dtype):
+                       lse_ref, tok_ref, tot_ref,
+                       m_scr, s_scr, av_scr, ai_scr, tok_scr, tot_scr,
+                       *, chunk_size: int, has_tokens: bool, round_dtype,
+                       want_sum: bool, v_real: int):
     c = pl.program_id(1)
     num_c = pl.num_programs(1)
 
@@ -284,6 +285,7 @@ def _argmax_lse_kernel(h_ref, w_ref, b_ref, t_ref, ai_ref, av_ref,
         av_scr[:] = jnp.full_like(av_scr, -jnp.inf)
         ai_scr[:] = jnp.zeros_like(ai_scr)
         tok_scr[:] = jnp.zeros_like(tok_scr)
+        tot_scr[:] = jnp.zeros_like(tot_scr)
 
     h = h_ref[:]
     w = w_ref[:]
@@ -311,6 +313,10 @@ def _argmax_lse_kernel(h_ref, w_ref, b_ref, t_ref, ai_ref, av_ref,
         tok_scr[:] = tok_scr[:] + jnp.sum(
             jnp.where(ids == t_ref[:], logits, 0.0), axis=-1,
             keepdims=True)
+    if want_sum:
+        # mask pad columns: their -1e30 bias would destroy f32 precision
+        tot_scr[:] = tot_scr[:] + jnp.sum(
+            jnp.where(ids < v_real, logits, 0.0), axis=-1, keepdims=True)
 
     @pl.when(c == num_c - 1)
     def _out():
@@ -318,10 +324,13 @@ def _argmax_lse_kernel(h_ref, w_ref, b_ref, t_ref, ai_ref, av_ref,
         av_ref[:] = av_scr[:]
         lse_ref[:] = m_scr[:] + jnp.log(s_scr[:])
         tok_ref[:] = tok_scr[:]
+        tot_ref[:] = tot_scr[:]
 
 
-def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
+def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret,
+                       want_sum=False):
     rows, H = hf.shape
+    V = W.shape[1]
     dtype = jnp.promote_types(hf.dtype, W.dtype)
     hf = hf.astype(dtype)
     Wp, bp, C = _pad_wb(W.astype(dtype), b, dtype, chunk_size)
@@ -335,10 +344,10 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
 
     kernel = functools.partial(
         _argmax_lse_kernel, chunk_size=chunk_size, has_tokens=has_tokens,
-        round_dtype=round_dtype)
+        round_dtype=round_dtype, want_sum=want_sum, v_real=V)
     grid = (rows_pad // block_rows, C)
     col = lambda i, c: (i, 0)
-    ai, av, lse, tok = pl.pallas_call(
+    ai, av, lse, tok, tot = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=interpret,
@@ -351,9 +360,10 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
             pl.BlockSpec((block_rows, 1), col, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((block_rows, 1), col,
-                                memory_space=pltpu.VMEM)] * 4,
+                                memory_space=pltpu.VMEM)] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
@@ -362,6 +372,7 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
                         pltpu.VMEM((block_rows, 1), jnp.float32),
                         pltpu.VMEM((block_rows, 1), jnp.float32),
                         pltpu.VMEM((block_rows, 1), jnp.int32),
+                        pltpu.VMEM((block_rows, 1), jnp.float32),
                         pltpu.VMEM((block_rows, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows_pad * H * Wp.shape[1],
@@ -373,6 +384,8 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret):
     out = (ai[:rows, 0], av[:rows, 0], lse[:rows, 0])
     if has_tokens:
         out = out + (tok[:rows, 0],)
+    if want_sum:
+        out = out + (tot[:rows, 0],)
     return out
 
 

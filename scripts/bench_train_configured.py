@@ -118,6 +118,24 @@ def main():
         except Exception:
             pass
 
+    # probe the fused-xent pallas kernels on this chip before the trainer
+    # bakes them into the train step; fall back to the dense CE on a
+    # lowering failure instead of dying mid-run
+    try:
+        import jax.numpy as jnp
+        from care_tpu.ops.fused_xent import vocab_xent_stats
+
+        def _probe_loss(hh, ww):
+            lse, lab, tot, _ = vocab_xent_stats(
+                hh, ww, None, jnp.zeros((4,), jnp.int32), 128)
+            return jnp.sum(lse - lab + tot * 0.0)
+        g = jax.grad(_probe_loss)(jnp.ones((4, 128)), jnp.ones((128, 256)))
+        np.asarray(g)
+    except Exception as e:
+        opt["fused_xent"] = False
+        print(f"- fused-xent pallas probe failed, dense CE: "
+              f"{type(e).__name__}: {e}", flush=True)
+
     trainer = Trainer(opt, train_loader=train_loader, val_loader=val_loader,
                       references=refs, vocab=itow)
     t_fit = time.time()

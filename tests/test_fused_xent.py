@@ -20,9 +20,10 @@ def _dense(h, W, b, labels):
     return lse, lab, tot, amax
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("V,chunk", [(96, 32), (200, 64), (217, 64)])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_forward_matches_dense(V, chunk, with_bias):
+def test_forward_matches_dense(V, chunk, with_bias, backend):
     rng = np.random.RandomState(0)
     B, L, H = 3, 5, 16
     h = jnp.asarray(rng.randn(B, L, H), jnp.float32)
@@ -31,15 +32,17 @@ def test_forward_matches_dense(V, chunk, with_bias):
     labels = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
 
     want = _dense(h, W, b, labels)
-    got = vocab_xent_stats(h, W, b, labels, chunk)
+    got = vocab_xent_stats(h, W, b, labels, chunk, backend, 8,
+                           backend == "pallas")
     np.testing.assert_allclose(got[0], want[0], rtol=0, atol=1e-5)  # lse
     np.testing.assert_allclose(got[1], want[1], rtol=0, atol=1e-5)  # label
     np.testing.assert_allclose(got[2], want[2], rtol=1e-5)          # sum
     np.testing.assert_array_equal(got[3], want[3])                  # argmax
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_gradients_match_dense(with_bias):
+def test_gradients_match_dense(with_bias, backend):
     rng = np.random.RandomState(1)
     B, L, H, V, chunk = 2, 4, 12, 150, 64
     h = jnp.asarray(rng.randn(B, L, H), jnp.float32)
@@ -51,7 +54,9 @@ def test_gradients_match_dense(with_bias):
     eps = 0.1
 
     def loss_fused(h, W, b):
-        lse, lab, tot, _ = vocab_xent_stats(h, W, b, labels, chunk)
+        lse, lab, tot, _ = vocab_xent_stats(h, W, b, labels, chunk,
+                                            backend, 8,
+                                            backend == "pallas")
         nll = lse - lab
         smooth = lse - tot / V
         return jnp.sum(((1 - eps) * nll + eps * smooth) * mask)
