@@ -163,6 +163,43 @@ def test_nar_fused_stats_decode_equals_dense():
                                atol=1e-5, rtol=0)
 
 
+@pytest.mark.parametrize("mode", ["f32", "bf16", "bf16_f32head"])
+def test_beam_decode_fused_equals_unfused(mode):
+    """Full beam decode, fused head on vs off, across serving dtype
+    modes (incl. decode_head_f32, whose f32 kernel must NOT be rounded
+    by the fused path — round-5 review finding)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_opt, tiny_model_and_batch
+    from care_tpu.decoding import get_translator
+
+    base = tiny_opt(vocab_size=48, beam_size=3, topk=2)
+    if mode != "f32":
+        base["compute_dtype_decode"] = "bfloat16"
+    if mode == "bf16_f32head":
+        base["decode_head_f32"] = True
+    model, variables, _ = tiny_model_and_batch(base, batch_size=4)
+    batch = {"feats": tiny_model_and_batch(base, batch_size=4, seed=3)[2][
+        "feats"]}
+    models = [(model, variables)]
+
+    outs = {}
+    for fused in (False, True):
+        opt = dict(base)
+        opt["fused_head_topk"] = fused
+        outs[fused] = get_translator(opt).translate_batch(models, batch)
+    hyp_d, sc_d = outs[False]
+    hyp_f, sc_f = outs[True]
+    assert hyp_f == hyp_d
+    # pure-bf16 serving accumulates the chunked matmul in a different
+    # layout than the dense head — scores agree at bf16 precision there,
+    # and to f32 rounding in the f32-logit modes
+    tol = 5e-3 if mode == "bf16" else 2e-5
+    for a, b in zip(sc_f, sc_d):
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+
 def test_grad_free_shapes_and_v_not_multiple_of_chunk():
     got_v, got_i = fused_head_beam_topk(
         jnp.ones((4, 8)), jnp.ones((8, 130)), None,
