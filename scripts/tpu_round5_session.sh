@@ -10,15 +10,15 @@ set -x
 cd "$(dirname "$0")/.."
 
 echo "=== probe ==="
-timeout 240 python -c "import jax; d=jax.devices(); print(d[0])" || exit 1
+timeout -k 10 240 python -c "import jax; d=jax.devices(); print(d[0])" || exit 1
 
 echo "=== 1. fused-head tune ==="
-timeout 3000 python scripts/tune_fused_head.py
+timeout -k 30 3000 python scripts/tune_fused_head.py
 
 echo "=== 2. configured trainer ==="
-timeout 4200 python scripts/bench_train_configured.py
+timeout -k 30 4200 python scripts/bench_train_configured.py
 
 echo "=== 3. bench ==="
-timeout 4200 python bench.py
+timeout -k 30 4200 python bench.py
 
 echo "=== done ==="
