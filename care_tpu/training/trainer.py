@@ -267,7 +267,16 @@ class Trainer:
         # gradient never materialise.  Static eligibility: single hidden
         # stream through a plain NaiveHead, no pointer copy-probs, no
         # visual-word multi-pass, transformer decoder, lang crit present.
+        # under a model-parallel mesh the vocab kernel is TP-sharded: the
+        # chunked scan would force per-chunk W gathers, while the dense
+        # path's softmax over a sharded vocab axis is the GSPMD pattern
+        # XLA reduces natively — keep dense there
+        tp_mesh = False
+        if self.mesh is not None:
+            from care_tpu.parallel import MODEL_AXIS
+            tp_mesh = self.mesh.shape.get(MODEL_AXIS, 1) > 1
         fused_xent = (opt.get("fused_xent", True)
+                      and not tp_mesh
                       and "lang" in opt.get("crits", [])
                       and opt.get("cls_head") == "NaiveHead"
                       and not opt.get("pointer")
