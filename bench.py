@@ -274,7 +274,23 @@ def main():
             trained_batches = []
 
     # ---- batch-64: one fused program, AOT-compiled --------------------
-    compiled64, args64, flops64 = _build_decode_fn(translator, models, batch)
+    # second fallback tier: the pallas probe above compiled the kernel
+    # STANDALONE; if it still fails inside the while_loop/map program
+    # context, rebuild the whole decode unfused rather than dying into
+    # the stale-replay branch
+    try:
+        compiled64, args64, flops64 = _build_decode_fn(translator, models,
+                                                       batch)
+    except Exception as e:
+        if not opt.get("fused_head_topk", True):
+            raise
+        print(f"- fused decode program failed ({type(e).__name__}: {e}); "
+              "rebuilding unfused", file=sys.stderr)
+        opt["fused_head_topk"] = False
+        fused_head_pallas_ok = False
+        translator = get_translator(opt)
+        compiled64, args64, flops64 = _build_decode_fn(translator, models,
+                                                       batch)
 
     def _drain(out):
         # the axon tunnel's block_until_ready returns before execution
