@@ -200,6 +200,38 @@ def test_beam_decode_fused_equals_unfused(mode):
         np.testing.assert_allclose(a, b, atol=tol, rtol=0)
 
 
+def test_beam_decode_pallas_kernel_inside_while_loop(monkeypatch):
+    """The pallas kernel must trace/execute INSIDE the beam while_loop
+    program (interpret mode on CPU) and reproduce the xla-backend
+    decode."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_opt, tiny_model_and_batch
+    from care_tpu.decoding import get_translator
+    import care_tpu.ops.fused_head_topk as F
+
+    opt = tiny_opt(vocab_size=48, beam_size=3)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=2)
+    batch = {"feats": tiny_model_and_batch(opt, batch_size=2, seed=4)[2][
+        "feats"]}
+    models = [(model, variables)]
+
+    want = get_translator(opt).translate_batch(models, batch)
+
+    orig = F.fused_head_beam_topk
+
+    def forced_pallas(h, W, b, scores, eos, k, chunk_size=2048, **kw):
+        return orig(h, W, b, scores, eos, k, chunk_size=chunk_size,
+                    backend="pallas", block_rows=8, interpret=True)
+
+    monkeypatch.setattr(F, "fused_head_beam_topk", forced_pallas)
+    got = get_translator(opt).translate_batch(models, batch)
+    assert got[0] == want[0]
+    for a, b2 in zip(got[1], want[1]):
+        np.testing.assert_allclose(a, b2, atol=2e-5, rtol=0)
+
+
 def test_grad_free_shapes_and_v_not_multiple_of_chunk():
     got_v, got_i = fused_head_beam_topk(
         jnp.ones((4, 8)), jnp.ones((8, 130)), None,
