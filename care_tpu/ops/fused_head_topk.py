@@ -76,6 +76,12 @@ def _finalize(cv, ids, m, s, scores, eos_row, beam_k, V):
     return best, best_ids
 
 
+def _clamp_chunk(V: int, chunk_size: int) -> int:
+    """Never use a chunk wider than the (lane-aligned) vocab itself —
+    small-vocab configs would otherwise matmul mostly padding."""
+    return min(chunk_size, max(128, -(-V // 128) * 128))
+
+
 def _pad_wb(W, b, dtype, chunk_size):
     H, V = W.shape
     C = -(-V // chunk_size)
@@ -412,6 +418,7 @@ def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048,
     hf = h.reshape(-1, H)
     rows = hf.shape[0]
     tf = token_ids.reshape(-1) if token_ids is not None else None
+    chunk_size = _clamp_chunk(V, chunk_size)
 
     if backend == "auto":
         dev = jax.config.jax_default_device
@@ -483,6 +490,7 @@ def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
     V = W.shape[1]
     N, Kb = scores.shape
     assert rows == N * Kb, (rows, N, Kb)
+    chunk_size = _clamp_chunk(V, chunk_size)
 
     if backend == "auto":
         # resolve from the EFFECTIVE compute platform: a session can hold

@@ -80,6 +80,8 @@ def _fwd(h, W, b, labels, chunk_size, backend="auto", block_rows=256,
     hf = h.reshape(-1, H)
     lf = labels.reshape(-1)
     rows = hf.shape[0]
+    from care_tpu.ops.fused_head_topk import _clamp_chunk
+    chunk_size = _clamp_chunk(V, chunk_size)
 
     if _resolve_backend(backend) == "pallas":
         amax_i, _, lse, lab, tot = _argmax_lse_pallas(
@@ -296,6 +298,8 @@ def _bwd(chunk_size, backend, block_rows, interpret, res, grads):
     gl = g_lse.reshape(-1).astype(jnp.float32)
     gb = g_label.reshape(-1).astype(jnp.float32)
     gs = g_sum.reshape(-1).astype(jnp.float32)
+    from care_tpu.ops.fused_head_topk import _clamp_chunk
+    chunk_size = _clamp_chunk(V, chunk_size)
 
     if _resolve_backend(backend) == "pallas":
         dh, dW, db = _bwd_pallas(hf, W, b, lf, lse, gl, gb, gs,
