@@ -246,11 +246,11 @@ _DEFAULTS = {
                                      # into the beam top-k (logits never in
                                      # HBM; ops/fused_head_topk.py) where
                                      # statically valid
-    "fused_head_chunk": 2048,        # vocab chunk width of the fused head
+    "fused_head_chunk": 1024,        # vocab chunk width of the fused head
     "fused_xent": True,              # training: chunked fused softmax-CE
                                      # statistics (ops/fused_xent.py) where
                                      # statically valid
-    "fused_xent_chunk": 2048,
+    "fused_xent_chunk": 1024,
     "device_feature_cache": True,    # upload per-video feature tables to
                                      # HBM once; batches ship only indices
                                      # (data/feature_bank.py)

@@ -228,7 +228,7 @@ class TranslatorARFormer(Translator):
                      and len(models) == 1 and not is_rnn
                      and not opt.get("pointer")
                      and opt.get("cls_head") == "NaiveHead")
-        fused_chunk = int(opt.get("fused_head_chunk", 2048))
+        fused_chunk = int(opt.get("fused_head_chunk", 1024))
 
         def run(all_variables, feats, batch_aux):
             if compute_dtype is not None:
@@ -545,7 +545,7 @@ class TranslatorNARFormer(Translator):
                 from care_tpu.ops.fused_head_topk import vocab_argmax_lse
                 head_W = variables["params"]["cls_head"]["tgt_word_prj"][
                     "kernel"]
-                chunk = int(opt.get("fused_head_chunk", 2048))
+                chunk = int(opt.get("fused_head_chunk", 1024))
 
                 def forward_stats(tokens):
                     out = model_obj.apply(

@@ -397,7 +397,7 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret,
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "backend",
                                              "block_rows", "interpret"))
-def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048,
+def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 1024,
                      backend: str = "auto", block_rows: int = 256,
                      interpret: bool = False):
     """Chunked (argmax, max-logit, logsumexp[, token-logit]) of
@@ -471,7 +471,7 @@ def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 2048,
                                              "backend", "block_rows",
                                              "interpret"))
 def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
-                         chunk_size: int = 2048, backend: str = "auto",
+                         chunk_size: int = 1024, backend: str = "auto",
                          block_rows: int = 256, interpret: bool = False):
     """h: [N*K, H] decoder hidden states; W: [H, V] vocab kernel; b: [V]
     bias or None; scores: [N, K] cumulative beam scores; eos_row: [N, K]

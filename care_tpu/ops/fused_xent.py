@@ -52,7 +52,7 @@ def _resolve_backend(backend):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def vocab_xent_stats(h, W, b, labels, chunk_size=2048, backend="auto",
+def vocab_xent_stats(h, W, b, labels, chunk_size=1024, backend="auto",
                      block_rows=256, interpret=False):
     """h: [..., H] hidden states; W: [H, V]; b: [V] or None;
     labels: [...] int.  Returns (lse, label_logit, sum_logits, argmax),
