@@ -611,7 +611,7 @@ class TranslatorNARFormer(Translator):
                         _, _, lse, tokl = vocab_argmax_lse(
                             hs, t_kernel, None, token_ids=toks,
                             chunk_size=int(opt.get("fused_head_chunk",
-                                                   2048)))
+                                                   1024)))
                         p = jnp.exp(tokl - lse)
                     else:
                         probs = jax.nn.softmax(

@@ -76,6 +76,24 @@ def _finalize(cv, ids, m, s, scores, eos_row, beam_k, V):
     return best, best_ids
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on TPU-like platforms, 'xla' on cpu.  Resolves
+    from the EFFECTIVE compute platform: a session can hold a live TPU
+    backend while computations are pinned to CPU via jax_default_device
+    (the conftest pattern).  jax_default_device may also be a platform
+    STRING."""
+    if backend != "auto":
+        return backend
+    dev = jax.config.jax_default_device
+    if isinstance(dev, str):
+        platform = dev
+    elif dev is not None:
+        platform = getattr(dev, "platform", None)
+    else:
+        platform = jax.default_backend()
+    return "pallas" if platform not in ("cpu",) else "xla"
+
+
 def _clamp_chunk(V: int, chunk_size: int) -> int:
     """Never use a chunk wider than the (lane-aligned) vocab itself —
     small-vocab configs would otherwise matmul mostly padding."""
@@ -266,7 +284,7 @@ def _stats_pallas(h, W, b, beam_k, chunk_size, block_rows, interpret):
             + h.size * h.dtype.itemsize,
             transcendentals=rows_pad * W.shape[1],
         ),
-    )(h, W, bpad[None, :].astype(jnp.float32))
+    )(h, W, bpad[None, :].astype(dtype))
 
     return (cv[:rows, :beam_k], ids[:rows, :beam_k],
             m[:rows, 0], s[:rows, 0])
@@ -386,7 +404,7 @@ def _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows, interpret,
             + hf.size * hf.dtype.itemsize,
             transcendentals=rows_pad * Wp.shape[1],
         ),
-    )(hf, Wp, bp[None, :].astype(jnp.float32), tcol)
+    )(hf, Wp, bp[None, :].astype(dtype), tcol)
     out = (ai[:rows, 0], av[:rows, 0], lse[:rows, 0])
     if has_tokens:
         out = out + (tok[:rows, 0],)
@@ -420,11 +438,7 @@ def vocab_argmax_lse(h, W, b, token_ids=None, chunk_size: int = 1024,
     tf = token_ids.reshape(-1) if token_ids is not None else None
     chunk_size = _clamp_chunk(V, chunk_size)
 
-    if backend == "auto":
-        dev = jax.config.jax_default_device
-        platform = (getattr(dev, "platform", None) if dev is not None
-                    else jax.default_backend())
-        backend = "pallas" if platform not in ("cpu",) else "xla"
+    backend = resolve_backend(backend)
     if backend == "pallas":
         out = _argmax_lse_pallas(hf, W, b, tf, chunk_size, block_rows,
                                  interpret)
@@ -492,15 +506,7 @@ def fused_head_beam_topk(h, W, b, scores, eos_row, beam_k: int,
     assert rows == N * Kb, (rows, N, Kb)
     chunk_size = _clamp_chunk(V, chunk_size)
 
-    if backend == "auto":
-        # resolve from the EFFECTIVE compute platform: a session can hold
-        # a live TPU backend while computations are pinned to CPU via
-        # jax_default_device (the conftest pattern) — default_backend()
-        # alone would misroute those to a TPU-only pallas lowering
-        dev = jax.config.jax_default_device
-        platform = (getattr(dev, "platform", None) if dev is not None
-                    else jax.default_backend())
-        backend = "pallas" if platform not in ("cpu",) else "xla"
+    backend = resolve_backend(backend)
     if backend == "pallas":
         cv, ids, m, s = _stats_pallas(h, W, b, beam_k, chunk_size,
                                       block_rows, interpret)

@@ -32,7 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from care_tpu.ops.fused_head_topk import (_pad_wb as _pad_wb_typed,
-                                          _argmax_lse_pallas)
+                                          _argmax_lse_pallas,
+                                          resolve_backend as
+                                          _resolve_backend)
 
 
 def _pad_wb(W, b, chunk_size):
@@ -40,15 +42,6 @@ def _pad_wb(W, b, chunk_size):
     -1e30 bias that underflows exp() to exactly 0 and never wins
     max/argmax."""
     return _pad_wb_typed(W, b, W.dtype, chunk_size)
-
-
-def _resolve_backend(backend):
-    if backend != "auto":
-        return backend
-    dev = jax.config.jax_default_device
-    platform = (getattr(dev, "platform", None) if dev is not None
-                else jax.default_backend())
-    return "pallas" if platform not in ("cpu",) else "xla"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -213,8 +206,11 @@ def _bwd_pallas(hf, W, b, lf, lse, gl, gb, gs, chunk_size, block_rows,
     pad_r = rows_pad - rows
     if pad_r:
         hp = jnp.pad(hp, ((0, pad_r), (0, 0)))
-        # pad rows carry zero cotangents: they contribute nothing to dW/db
-        lse = jnp.pad(lse, (0, pad_r), constant_values=1.0)
+        # pad rows carry zero cotangents AND a huge lse so the softmax
+        # recompute exp(logit - lse) underflows to exactly 0 — a small
+        # lse could overflow p to inf and 0*inf = NaN would poison the
+        # dW/db sums over row blocks
+        lse = jnp.pad(lse, (0, pad_r), constant_values=1e30)
         gl = jnp.pad(gl, (0, pad_r))
         gb = jnp.pad(gb, (0, pad_r))
         gs = jnp.pad(gs, (0, pad_r))
@@ -223,7 +219,7 @@ def _bwd_pallas(hf, W, b, lf, lse, gl, gb, gs, chunk_size, block_rows,
     round_dtype = dtype if dtype != jnp.float32 else None
     RB = rows_pad // block_rows
     col = lambda i, c: (i, 0)
-    row_args = (hp, Wp, bp[None, :].astype(jnp.float32), cols(lse),
+    row_args = (hp, Wp, bp[None, :].astype(dtype), cols(lse),
                 cols(gl), cols(gb), cols(gs),
                 lf[:, None].astype(jnp.int32))
     common_specs = [

@@ -132,15 +132,9 @@ class Trainer:
                 is not None for l in leaves):
             return batch
         bank = getattr(self, "_feature_bank", None)
-        if bank is not None and "video_ids" in batch \
-                and bank.covers(batch["video_ids"]):
-            # device feature bank: feats are assembled ON DEVICE from the
-            # resident tables; only indices + text arrays cross the tunnel
-            b = device_batch({k: v for k, v in batch.items()
-                              if k != "feats"})
-            b["feats"] = bank.lookup(batch["video_ids"],
-                                     batch.get("frame_ids"))
-            return b
+        served = self._bank_serve(bank, batch)
+        if served is not None:
+            return served
         if bank is not None and "feats" not in batch:
             # skip_feats stripped the host feats but the bank cannot serve
             # this batch: fail loudly here instead of a KeyError deep in
@@ -156,6 +150,20 @@ class Trainer:
         if self.mesh is not None:
             from care_tpu.parallel import shard_batch
             b = shard_batch(b, self.mesh)
+        return b
+
+    @staticmethod
+    def _bank_serve(bank, batch):
+        """Assemble a device batch from a feature bank when it covers the
+        batch (feats gathered ON DEVICE from the resident tables; only
+        indices + text arrays cross the tunnel); None when the bank
+        cannot serve it."""
+        if bank is None or "video_ids" not in batch \
+                or not bank.covers(batch["video_ids"]):
+            return None
+        b = device_batch({k: v for k, v in batch.items() if k != "feats"})
+        b["feats"] = bank.lookup(batch["video_ids"],
+                                 batch.get("frame_ids"))
         return b
 
     def _maybe_val_bank(self, loader):
@@ -667,14 +675,8 @@ class Trainer:
             # upload once — every epoch's validation decode then ships
             # only indices.  The dataset keeps loading host feats (no
             # skip_feats), so any uncovered batch falls back trivially.
-            if (val_bank is not None and "video_ids" in b
-                    and "feats" in b and val_bank.covers(b["video_ids"])):
-                db = device_batch({k: v for k, v in b.items()
-                                   if k != "feats"})
-                db["feats"] = val_bank.lookup(b["video_ids"],
-                                              b.get("frame_ids"))
-                return db
-            return device_batch(b)
+            served = self._bank_serve(val_bank, b) if "feats" in b else None
+            return served if served is not None else device_batch(b)
 
         def tagged():
             for b in loader:

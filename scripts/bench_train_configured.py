@@ -139,7 +139,22 @@ def main():
     trainer = Trainer(opt, train_loader=train_loader, val_loader=val_loader,
                       references=refs, vocab=itow)
     t_fit = time.time()
-    trainer.fit(EPOCHS)
+    try:
+        trainer.fit(EPOCHS)
+    except Exception as e:
+        # tier-2 fallback (the tiny-shape probe above passing does not
+        # guarantee the kernels lower at the real shapes/in-context):
+        # rebuild with dense CE rather than losing the TPU window
+        if not opt.get("fused_xent", True):
+            raise
+        print(f"- fit failed with fused xent ({type(e).__name__}: {e}); "
+              "retrying dense", flush=True)
+        opt["fused_xent"] = False
+        trainer = Trainer(opt, train_loader=train_loader,
+                          val_loader=val_loader, references=refs,
+                          vocab=itow)
+        t_fit = time.time()
+        trainer.fit(EPOCHS)
     fit_wall = time.time() - t_fit
     bank = getattr(trainer, "_feature_bank", None)
 
