@@ -18,9 +18,11 @@ timeout -k 30 3000 python scripts/tune_fused_head.py
 echo "=== 2. configured trainer ==="
 timeout -k 30 4200 python scripts/bench_train_configured.py
 
-# NOTE: bench.py deliberately NOT run here — the round driver runs it at
-# round end, and two TPU sessions contend on the tunnel lease.  Run it
-# manually only when the driver is known idle:
-#   timeout -k 30 4200 python bench.py
+# bench.py LAST: refreshes .bench_last_good.json with round-5 numbers so
+# even a later tunnel-down driver run replays THIS round's measurements.
+# (If the driver's own bench overlaps, its probe retries ~13 min — the
+# window for contention is small and the last-good refresh is worth it.)
+echo "=== 3. bench ==="
+timeout -k 30 4200 python bench.py
 
 echo "=== done ==="
