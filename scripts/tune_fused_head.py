@@ -111,6 +111,46 @@ def main():
             results.append(row)
             print(row, flush=True)
 
+    # ---- fused-xent (training CE) fwd+bwd at the flagship train shape --
+    from care_tpu.ops.fused_xent import vocab_xent_stats
+    B, L = 64, 29
+    h_t = jax.device_put(jnp.asarray(rng.randn(B, L, H), jnp.float32))
+    W_t = jax.device_put(jnp.asarray(W32, jnp.float32))
+    labels = jax.device_put(jnp.asarray(
+        rng.randint(0, V, (B, L)), jnp.int32))
+
+    def dense_ce(hh, WW):
+        logits = (hh @ WW).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        return jnp.sum(0.9 * nll + 0.1 * (-logp.mean(-1)))
+
+    def fused_ce(hh, WW, backend, chunk):
+        lse, lab, tot, _ = vocab_xent_stats(hh, WW, None, labels, chunk,
+                                            backend)
+        return jnp.sum(0.9 * (lse - lab) + 0.1 * (lse - tot / V))
+
+    for name, fn in (
+            ("xent_dense_grad", lambda hh, WW: jax.grad(dense_ce)(hh, WW)),
+            ("xent_xla_grad",
+             lambda hh, WW: jax.grad(
+                 lambda a: fused_ce(a, WW, "xla", 1024))(hh)),
+            ("xent_pallas_grad",
+             lambda hh, WW: jax.grad(
+                 lambda a: fused_ce(a, WW, "pallas", 1024))(hh))):
+        try:
+            t = time_chained(
+                lambda hh, WW, _f=fn: (lambda g: (g.sum()[None],
+                                                  g.sum()[None].astype(
+                                                      jnp.int32)))(
+                    _f(hh, WW)),
+                (h_t, W_t), floor_s)
+            row = {"config": name, "ms": round(t * 1e3, 3)}
+        except Exception as e:
+            row = {"config": name, "error": f"{type(e).__name__}: {e}"}
+        results.append(row)
+        print(row, flush=True)
+
     out = {"device": str(dev), "floor_ms": round(floor_s * 1e3, 2),
            "n_chain": N_CHAIN, "results": results,
            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
