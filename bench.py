@@ -221,10 +221,13 @@ def main():
         np.asarray(_p[0])
         fused_head_pallas_ok = True
     except Exception as e:
+        # mosaic rejected the kernel on this chip: keep the fusion via the
+        # portable lax.scan backend (the [rows, V] logits still never
+        # materialise as one HBM tensor) instead of decoding unfused
         fused_head_pallas_ok = False
-        opt["fused_head_topk"] = False
-        print(f"- fused-head pallas probe failed, decoding unfused: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
+        opt["fused_head_backend"] = "xla"
+        print(f"- fused-head pallas probe failed, using the fused xla "
+              f"backend: {type(e).__name__}: {e}", file=sys.stderr)
 
     model = build_captioner(opt)
     batch = _synthetic_batch(opt, batch_size=BATCH)
@@ -284,13 +287,33 @@ def main():
     except Exception as e:
         if not opt.get("fused_head_topk", True):
             raise
-        print(f"- fused decode program failed ({type(e).__name__}: {e}); "
-              "rebuilding unfused", file=sys.stderr)
-        opt["fused_head_topk"] = False
-        fused_head_pallas_ok = False
-        translator = get_translator(opt)
-        compiled64, args64, flops64 = _build_decode_fn(translator, models,
-                                                       batch)
+        if opt.get("fused_head_backend", "auto") != "xla":
+            # kernel compiled standalone but failed in the program context:
+            # first try keeping the fusion on the lax.scan backend
+            print(f"- fused decode program failed ({type(e).__name__}: "
+                  f"{e}); retrying with the fused xla backend",
+                  file=sys.stderr)
+            opt["fused_head_backend"] = "xla"
+            fused_head_pallas_ok = False
+            translator = get_translator(opt)
+            try:
+                compiled64, args64, flops64 = _build_decode_fn(
+                    translator, models, batch)
+            except Exception as e2:
+                print(f"- fused xla backend failed too ({type(e2).__name__}"
+                      f": {e2}); rebuilding unfused", file=sys.stderr)
+                opt["fused_head_topk"] = False
+                translator = get_translator(opt)
+                compiled64, args64, flops64 = _build_decode_fn(
+                    translator, models, batch)
+        else:
+            print(f"- fused decode program failed ({type(e).__name__}: "
+                  f"{e}); rebuilding unfused", file=sys.stderr)
+            opt["fused_head_topk"] = False
+            fused_head_pallas_ok = False
+            translator = get_translator(opt)
+            compiled64, args64, flops64 = _build_decode_fn(translator,
+                                                           models, batch)
 
     def _drain(out):
         # the axon tunnel's block_until_ready returns before execution
@@ -683,6 +706,10 @@ def main():
         LBATCH = 512
         opt_l = _flagship_opt(arch="large")
         opt_l["beam_size"] = BEAM
+        # inherit the probed fused-head state (a mosaic rejection on this
+        # chip otherwise kills this datapoint outright)
+        opt_l["fused_head_topk"] = opt.get("fused_head_topk", True)
+        opt_l["fused_head_backend"] = opt.get("fused_head_backend", "auto")
         model_l = build_captioner(opt_l)
         batch_l = _synthetic_batch(opt_l, batch_size=LBATCH)
         small_l = {"feats": [f[:1] for f in batch_l["feats"]],
@@ -786,6 +813,8 @@ def main():
                                              "length_beam_size": 6,
                                              "na_length_range": [5, 11]}},
                         read_vocab=False, resolve_paths=False)
+        opt_n["fused_head_topk"] = opt.get("fused_head_topk", True)
+        opt_n["fused_head_backend"] = opt.get("fused_head_backend", "auto")
         opt_n["dim_m"], opt_n["dim_i"] = 2048, 512
         model_n = build_captioner(opt_n)
         batch_n = _synthetic_batch(opt_n, batch_size=BATCH)
@@ -845,37 +874,55 @@ def main():
         np.asarray(loss)  # one sync for the whole chain
         t_chain = (time.perf_counter() - t0) / N_STEPS
 
-        # round-5 A/B: fused-xent step — no [B, L, V] logits fwd or bwd
-        @jax.jit
-        def train_step_fused(params, opt_state, b):
-            def loss_fn(p):
-                out = model.apply({"params": p}, b, deterministic=True,
-                                  collect_aux=False, compute_logits=False)
-                results = {**out, **b}
-                if "logits" not in out:
-                    results["cls_head_kernel"] = \
-                        p["cls_head"]["tgt_word_prj"]["kernel"]
-                total, _, _ = criterion(results, None)
-                return total
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
+        # round-5 A/B: fused-xent step — no [B, L, V] logits fwd or bwd.
+        # 'auto' resolves to pallas on TPU; if mosaic rejects the xent
+        # kernels on this chip, the lax.scan backend still avoids the
+        # [B, L, V] logits — A/B whichever one runs (a fresh jitted step
+        # per attempt: the backend is baked in at trace time)
         t_fx = None
-        try:
-            f_params, f_state = variables["params"], tx.init(
-                variables["params"])
-            f_params, f_state, loss = train_step_fused(f_params, f_state,
-                                                       tbatch)
-            np.asarray(loss)
-            t0 = time.perf_counter()
-            for _ in range(N_STEPS):
+        fx_backend = None
+        for _try_backend in ("auto", "xla"):
+            try:
+                opt_fx = dict(opt)
+                opt_fx["fused_xent_backend"] = _try_backend
+                criterion_fx = Criterion(opt_fx)
+
+                @jax.jit
+                def train_step_fused(params, opt_state, b):
+                    def loss_fn(p):
+                        out = model.apply(
+                            {"params": p}, b, deterministic=True,
+                            collect_aux=False, compute_logits=False)
+                        results = {**out, **b}
+                        if "logits" not in out:
+                            results["cls_head_kernel"] = \
+                                p["cls_head"]["tgt_word_prj"]["kernel"]
+                        total, _, _ = criterion_fx(results, None)
+                        return total
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = tx.update(grads, opt_state,
+                                                   params)
+                    return (optax.apply_updates(params, updates),
+                            opt_state, loss)
+
+                f_params, f_state = variables["params"], tx.init(
+                    variables["params"])
                 f_params, f_state, loss = train_step_fused(
                     f_params, f_state, tbatch)
-            np.asarray(loss)
-            t_fx = (time.perf_counter() - t0) / N_STEPS
-        except Exception:
-            t_fx = None
+                np.asarray(loss)
+                t0 = time.perf_counter()
+                for _ in range(N_STEPS):
+                    f_params, f_state, loss = train_step_fused(
+                        f_params, f_state, tbatch)
+                np.asarray(loss)
+                t_fx = (time.perf_counter() - t0) / N_STEPS
+                fx_backend = _try_backend
+                break
+            except Exception as e:
+                print(f"- fused-xent step failed on backend="
+                      f"{_try_backend}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                t_fx = None
 
         train_detail = {
             "batch": BATCH,
@@ -886,6 +933,7 @@ def main():
                                          if t_fx else None),
             "fused_xent_speedup": (round(t_chain / t_fx, 3)
                                    if t_fx else None),
+            "fused_xent_backend": fx_backend,
             "note": "chained enqueue, floor amortised over 20 steps; "
                     "core step only (deterministic fwd, no dropout/"
                     "scheduled-sampling/aux collection, plain Adam) — an "
@@ -997,6 +1045,9 @@ def main():
             "ragged_serving": ragged_detail,
             "unfused_head_ab": nofuse_detail,
             "fused_head_pallas_ok": fused_head_pallas_ok,
+            "fused_head_backend": (
+                None if not opt.get("fused_head_topk", True)
+                else opt.get("fused_head_backend", "auto")),
             "dispatch_floor_ms": round(dispatch_floor_s * 1e3, 2),
             "h2d_bandwidth_MBps": round(h2d_mbps, 1),
             "bf16_serving": bf16_detail,

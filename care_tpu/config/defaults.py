@@ -247,10 +247,15 @@ _DEFAULTS = {
                                      # HBM; ops/fused_head_topk.py) where
                                      # statically valid
     "fused_head_chunk": 1024,        # vocab chunk width of the fused head
+    "fused_head_backend": "auto",    # 'auto' = pallas on TPU; 'xla' pins
+                                     # the portable lax.scan form (bench
+                                     # falls back here if mosaic rejects
+                                     # the kernel on a chip)
     "fused_xent": True,              # training: chunked fused softmax-CE
                                      # statistics (ops/fused_xent.py) where
                                      # statically valid
     "fused_xent_chunk": 1024,
+    "fused_xent_backend": "auto",
     "device_feature_cache": True,    # upload per-video feature tables to
                                      # HBM once; batches ship only indices
                                      # (data/feature_bank.py)

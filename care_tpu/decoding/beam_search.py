@@ -74,7 +74,7 @@ def beam_search(
     top-k runs in its ``assume_finite`` fast path, whose distinct-index
     guarantee requires every input > -inf.
 
-    ``fused_head=(W, b, chunk_size)`` switches the expansion to
+    ``fused_head=(W, b, chunk_size[, backend])`` switches the expansion to
     ``ops/fused_head_topk.fused_head_beam_topk``: ``step_fn`` must then
     return decoder HIDDEN states ``[N*K, H]`` (pre vocab projection) and
     the ``[rows, V]`` logits are never materialised — the projection
@@ -114,9 +114,11 @@ def beam_search(
         eos_row = state.last_tokens == eos_id
         if fused_head is not None:
             from care_tpu.ops.fused_head_topk import fused_head_beam_topk
-            W, bias, chunk = fused_head
+            W, bias, chunk = fused_head[:3]
+            backend = fused_head[3] if len(fused_head) > 3 else "auto"
             best_scores, best_ids = fused_head_beam_topk(
-                out, W, bias, state.scores, eos_row, K, chunk_size=chunk)
+                out, W, bias, state.scores, eos_row, K, chunk_size=chunk,
+                backend=backend)
         else:
             # clamp -inf masks to the finite DEAD score: the assume_finite
             # top-k below would silently return duplicate indices otherwise

@@ -229,6 +229,10 @@ class TranslatorARFormer(Translator):
                      and not opt.get("pointer")
                      and opt.get("cls_head") == "NaiveHead")
         fused_chunk = int(opt.get("fused_head_chunk", 1024))
+        # 'auto' = pallas on TPU; a host that rejects the mosaic lowering
+        # (bench probes for this) can pin the portable lax.scan form with
+        # fused_head_backend='xla' and keep the no-[rows,V]-logits fusion
+        fused_backend = str(opt.get("fused_head_backend", "auto"))
 
         def run(all_variables, feats, batch_aux):
             if compute_dtype is not None:
@@ -315,7 +319,7 @@ class TranslatorARFormer(Translator):
                     step_fn, tuple(carries), batch_size=N, vocab_size=vocab,
                     beam_size=beam_size, max_len=max_len, beam_alpha=alpha,
                     topk=topk, gather_carry=gather_carry,
-                    fused_head=(head_W, None, fused_chunk))
+                    fused_head=(head_W, None, fused_chunk, fused_backend))
 
             def step_fn(tokens, position, carry_tuple):
                 logps = []
@@ -562,8 +566,9 @@ class TranslatorNARFormer(Translator):
                     hs = out["hidden_states"]
                     if isinstance(hs, list):
                         hs = hs[-1]
-                    idx, mx, lse = vocab_argmax_lse(hs, head_W, None,
-                                                    chunk_size=chunk)
+                    idx, mx, lse = vocab_argmax_lse(
+                        hs, head_W, None, chunk_size=chunk,
+                        backend=str(opt.get("fused_head_backend", "auto")))
                     return idx, jnp.exp(mx - lse)
 
             teacher_score = None
@@ -611,7 +616,9 @@ class TranslatorNARFormer(Translator):
                         _, _, lse, tokl = vocab_argmax_lse(
                             hs, t_kernel, None, token_ids=toks,
                             chunk_size=int(opt.get("fused_head_chunk",
-                                                   1024)))
+                                                   1024)),
+                            backend=str(opt.get("fused_head_backend",
+                                                "auto")))
                         p = jnp.exp(tokl - lse)
                     else:
                         probs = jax.nn.softmax(

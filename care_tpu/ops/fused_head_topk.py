@@ -194,12 +194,22 @@ def _fused_kernel(h_ref, w_ref, b_ref, mv_ref, sv_ref, cv_ref, ci_ref,
             + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1))
     pos_r = jax.lax.broadcasted_iota(jnp.int32, run_v.shape, 1)
     pos_c = jax.lax.broadcasted_iota(jnp.int32, ch_v.shape, 1)
+    # first-occurrence pick via min-position-of-max (f32 positions are
+    # exact up to 2^24): mosaic rejects argmax over the bool mask
+    # (`jnp.argmax(x == xmax)`) with "Only float32 is supported"
+    posf_r = pos_r.astype(jnp.float32)
+    posf_c = pos_c.astype(jnp.float32)
+    _FAR = 3.0e8
     picked_v, picked_i = [], []
     for _ in range(beam_k):
         rmax = jnp.max(run_v, axis=-1, keepdims=True)
         cmax = jnp.max(ch_v, axis=-1, keepdims=True)
-        r_pick = pos_r == jnp.argmax(run_v == rmax, axis=-1)[:, None]
-        c_pick = pos_c == jnp.argmax(ch_v == cmax, axis=-1)[:, None]
+        r_first = jnp.min(jnp.where(run_v == rmax, posf_r, _FAR),
+                          axis=-1, keepdims=True)
+        c_first = jnp.min(jnp.where(ch_v == cmax, posf_c, _FAR),
+                          axis=-1, keepdims=True)
+        r_pick = posf_r == r_first
+        c_pick = posf_c == c_first
         r_id = jnp.sum(jnp.where(r_pick, run_i, 0), axis=-1,
                        keepdims=True)
         c_id = jnp.sum(jnp.where(c_pick, ch_i, 0), axis=-1,

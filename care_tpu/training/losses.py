@@ -114,7 +114,8 @@ def _lang_step_fused(opt, hidden, kernel, labels):
 
     V = kernel.shape[1]
     lse, lab, tot, amax = vocab_xent_stats(
-        hidden, kernel, None, labels, opt.get("fused_xent_chunk", 1024))
+        hidden, kernel, None, labels, opt.get("fused_xent_chunk", 1024),
+        backend=str(opt.get("fused_xent_backend", "auto")))
     # log_softmax identities: nll = lse - label_logit;
     # -mean(logprobs) = lse - sum(logits)/V; argmax(logits)==argmax(logp)
     nll = lse - lab

@@ -240,3 +240,41 @@ def test_grad_free_shapes_and_v_not_multiple_of_chunk():
     # padding columns (130 -> 192) must never be picked
     assert np.all(np.asarray(got_i) % 130 < 130)
     assert np.all(np.asarray(got_i) < 2 * 130)
+
+
+def test_opt_fused_head_backend_reaches_the_op(monkeypatch):
+    """opt['fused_head_backend'] must thread translator -> beam_search ->
+    fused_head_beam_topk (bench pins 'xla' when mosaic rejects the pallas
+    kernel on a chip), and the xla-pinned decode must equal the default."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_opt, tiny_model_and_batch
+    from care_tpu.decoding import get_translator
+    import care_tpu.ops.fused_head_topk as F
+
+    opt = tiny_opt(vocab_size=48, beam_size=3)
+    model, variables, _ = tiny_model_and_batch(opt, batch_size=2)
+    batch = {"feats": tiny_model_and_batch(opt, batch_size=2, seed=4)[2][
+        "feats"]}
+    models = [(model, variables)]
+
+    want = get_translator(opt).translate_batch(models, batch)
+
+    seen = []
+    orig = F.fused_head_beam_topk
+
+    def recording(h, W, b, scores, eos, k, chunk_size=2048,
+                  backend="auto", **kw):
+        seen.append(backend)
+        return orig(h, W, b, scores, eos, k, chunk_size=chunk_size,
+                    backend=backend, **kw)
+
+    monkeypatch.setattr(F, "fused_head_beam_topk", recording)
+    opt_x = dict(opt)
+    opt_x["fused_head_backend"] = "xla"
+    got = get_translator(opt_x).translate_batch(models, batch)
+    assert seen and all(b == "xla" for b in seen)
+    assert got[0] == want[0]
+    for a, b2 in zip(got[1], want[1]):
+        np.testing.assert_allclose(a, b2, atol=2e-5, rtol=0)
