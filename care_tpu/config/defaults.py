@@ -251,9 +251,14 @@ _DEFAULTS = {
                                      # the portable lax.scan form (bench
                                      # falls back here if mosaic rejects
                                      # the kernel on a chip)
-    "fused_xent": True,              # training: chunked fused softmax-CE
+    "fused_xent": "auto",            # training: chunked fused softmax-CE
                                      # statistics (ops/fused_xent.py) where
-                                     # statically valid
+                                     # statically valid. 'auto' fuses only
+                                     # when the dense [B, L, V] logits +
+                                     # grad clear the threshold below (the
+                                     # dense step is measurably faster at
+                                     # flagship shapes); True/False force
+    "fused_xent_auto_threshold_mb": 512,
     "fused_xent_chunk": 1024,
     "fused_xent_backend": "auto",
     "device_feature_cache": True,    # upload per-video feature tables to

@@ -283,13 +283,27 @@ class Trainer:
         if self.mesh is not None:
             from care_tpu.parallel import MODEL_AXIS
             tp_mesh = self.mesh.shape.get(MODEL_AXIS, 1) > 1
-        fused_xent = (opt.get("fused_xent", True)
+        fx_opt = opt.get("fused_xent", "auto")
+        if fx_opt == "auto":
+            # measured A/B (bench detail.train_step): the dense CE step is
+            # ~5-15% FASTER than the chunked recompute at the flagship
+            # shape — the fusion's win is the [B, L, V] logits + grad
+            # activations, which only matter once they are a real slice of
+            # HBM.  Fuse when that term clears the threshold; keep the
+            # faster dense step otherwise.  True/False still force.
+            logits_mb = (opt.get("batch_size", 64)
+                         * (opt.get("max_len", 30) + 2)
+                         * opt.get("vocab_size", 11000) * 4 * 2) / 2**20
+            fx_opt = logits_mb >= float(
+                opt.get("fused_xent_auto_threshold_mb", 512))
+        fused_xent = (bool(fx_opt)
                       and not tp_mesh
                       and "lang" in opt.get("crits", [])
                       and opt.get("cls_head") == "NaiveHead"
                       and not opt.get("pointer")
                       and not opt.get("visual_word_generation", False)
                       and "rnn" not in opt.get("decoder", "").lower())
+        self._fused_xent = fused_xent
 
         def train_step(params, extra_vars, opt_state, batch, rng, ss_prob):
             dropout_rng, sampling_rng = jax.random.split(rng)

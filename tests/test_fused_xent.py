@@ -141,3 +141,34 @@ def test_argmax_tie_breaks_lowest_index_across_chunks():
     labels = jnp.zeros((1,), jnp.int32)
     _, _, _, amax = vocab_xent_stats(h, W, None, labels, chunk)
     assert int(amax[0]) == 10
+
+
+def test_fused_xent_auto_threshold(tmp_path):
+    """'auto' fuses only when the dense [B, L, V] logits + grad clear
+    the memory threshold (bench A/B: the dense step is faster at
+    flagship shapes, so small configs must stay dense)."""
+    from care_tpu.data import get_loader
+    from care_tpu.training.trainer import Trainer
+    from test_train_e2e import make_synthetic_env
+
+    def gate(extra):
+        opt, corpus, refs = make_synthetic_env(
+            tmp_path / str(len(list(tmp_path.iterdir()))), task="CARE",
+            extra={"decoder_modality_flags": "V",
+                   "predictor_modality_flags": "V", "epochs": 1,
+                   **extra})
+        loader = get_loader(opt, "train")
+        tr = Trainer(opt, train_loader=loader, references=refs,
+                     vocab=corpus["info"]["itow"])
+        tr.init_model(next(iter(loader)))
+        tr._build_tx(len(loader))
+        tr._make_train_step()
+        return tr._fused_xent
+
+    # synthetic env: tiny vocab/batch -> dense logits far below 512 MB
+    assert gate({"fused_xent": "auto"}) is False
+    # force via the threshold: 0 MB means any shape fuses
+    assert gate({"fused_xent": "auto",
+                 "fused_xent_auto_threshold_mb": 0}) is True
+    # explicit True still forces regardless of size
+    assert gate({"fused_xent": True}) is True
