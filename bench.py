@@ -1000,7 +1000,13 @@ def main():
                     "configured_samples_per_s",
                     "configured_samples_per_s_post_switch",
                     "epoch_s_warm", "steps_per_epoch", "batch",
-                    "eval_fused_k", "note", "measured_at")}
+                    "eval_fused_k", "feature_cache",
+                    "no_cache_samples_per_s", "note", "measured_at")}
+            if (cfg.get("no_cache_samples_per_s")
+                    and cfg.get("configured_samples_per_s")):
+                train_cfg_detail["feature_cache_speedup"] = round(
+                    cfg["configured_samples_per_s"]
+                    / cfg["no_cache_samples_per_s"], 2)
             train_cfg_detail["device_match"] = (
                 cfg.get("device") == device_name)
             train_cfg_detail["source"] = \
